@@ -1,0 +1,379 @@
+"""Immutable segment format — the on-disk unit of the index.
+
+A segment mirrors what a Tantivy segment holds (SURVEY.md §1.1
+"Segment"; reference opens them via `toshi-server/src/handle.rs:221-232`)
+re-expressed as Parquet so Ray Data / pyarrow can stream it:
+
+    seg-<min_doc>-<n>/
+      postings.parquet   term dictionary + compressed posting lists
+                         (field, term, shard, df, doc_ids Δ+varint,
+                          tfs varint, positions Δ+varint,
+                          block_max_tf / block_min_norm per 128-doc block,
+                          max_tf)       — sorted by (field, term, shard)
+      docvalues.parquet  per-doc columnar values: doc_id, 1-byte fieldnorm
+                         codes per text field, numeric fast fields,
+                         facet paths  — sorted by doc_id
+      store.parquet      stored fields for retrieval — sorted by doc_id
+      meta.json          doc counts + exact per-field token totals
+                         (global BM25 stats are summed from these)
+
+All posting lists for one batch of documents are built in ONE
+vectorized pass (dictionary-encode + lexsort + reduceat); the varint
+payloads for every term are produced by a single segmented encode.
+
+Multiple rows may exist for one (field, term): hot terms are sharded by
+doc-range (`shard` column) so the merge stage can salt skewed keys and
+readers just concatenate shards in order (SURVEY.md §7.3/§7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from toshi_ray import codecs
+from toshi_ray.analyzer import get_analyzer
+from toshi_ray.fieldnorm import fieldnorm_to_id
+from toshi_ray.schema import FACET, Schema
+
+POSTINGS_FILE = "postings.parquet"
+DOCVALUES_FILE = "docvalues.parquet"
+STORE_FILE = "store.parquet"
+META_FILE = "meta.json"
+
+POSTINGS_SCHEMA_FIXED = [
+    ("field", pa.string()),
+    ("term", pa.string()),
+    ("shard", pa.int32()),
+    ("df", pa.uint32()),
+    ("total_tf", pa.uint64()),
+    ("max_tf", pa.uint32()),
+    ("doc_ids", pa.large_binary()),
+    ("tfs", pa.large_binary()),
+    ("positions", pa.large_binary()),
+    ("block_max_tf", pa.large_binary()),
+    ("block_min_norm", pa.large_binary()),
+]
+
+
+def _binary_from_offsets(payload: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Wrap one contiguous payload + per-list offsets as a LargeBinaryArray
+    without copying per list."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(byte_offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int64)), pa.py_buffer(payload)],
+    )
+
+
+def _block_starts(list_offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts of 128-doc blocks for many concatenated lists.
+
+    Returns (flat block start indices, per-list block counts)."""
+    lens = np.diff(list_offsets)
+    n_blocks = (lens + codecs.BLOCK - 1) // codecs.BLOCK
+    n_blocks = np.maximum(n_blocks, 1)  # empty list still gets 1 (degenerate)
+    reps = np.repeat(list_offsets[:-1], n_blocks)
+    within = (np.arange(n_blocks.sum()) - np.repeat(np.cumsum(n_blocks) - n_blocks, n_blocks))
+    return reps + within * codecs.BLOCK, n_blocks
+
+
+@dataclass
+class PostingsBatch:
+    """Vectorized posting-list build result for one text field."""
+
+    table: pa.Table  # POSTINGS_SCHEMA_FIXED rows for this field
+    total_tokens: int
+
+
+def build_field_postings(
+    field_name: str,
+    tokenizer: str,
+    col: pa.Array,
+    doc_ids: np.ndarray,
+    record_positions: bool,
+    shard: int = 0,
+) -> tuple[PostingsBatch, np.ndarray]:
+    """Build sorted, compressed posting lists for one field of one doc batch.
+
+    ``doc_ids`` must be sorted ascending (caller sorts the batch).
+    Returns the postings rows plus the per-doc fieldnorm token counts.
+    """
+    analyzer = get_analyzer(tokenizer)
+    tc = analyzer.tokenize_column(col)
+    term_ids, vocab = tc.term_ids()
+    n_docs = len(doc_ids)
+
+    if term_ids.size == 0:
+        empty = pa.table(
+            {name: pa.array([], type=t) for name, t in POSTINGS_SCHEMA_FIXED}
+        )
+        return PostingsBatch(table=empty, total_tokens=0), np.zeros(n_docs, np.int64)
+
+    # vocab order from dictionary_encode is first-appearance; remap to sorted
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+    sort_vocab = np.argsort(vocab_np, kind="stable")
+    rank = np.empty_like(sort_vocab)
+    rank[sort_vocab] = np.arange(sort_vocab.size)
+    term_ids = rank[term_ids]
+    vocab_sorted = vocab_np[sort_vocab]
+
+    order = np.lexsort((tc.positions, tc.doc_index, term_ids))
+    t = term_ids[order]
+    d = tc.doc_index[order]
+    p = tc.positions[order]
+
+    # (term, doc) group boundaries → tf per posting, positions per posting
+    new_group = np.empty(t.size, dtype=bool)
+    new_group[0] = True
+    np.not_equal(t[1:], t[:-1], out=new_group[1:])
+    nd = d[1:] != d[:-1]
+    new_group[1:] |= nd
+    group_starts = np.nonzero(new_group)[0]
+    group_offsets = np.concatenate([group_starts, [t.size]]).astype(np.int64)
+    tfs_flat = np.diff(group_offsets).astype(np.uint64)
+    g_term = t[group_starts]
+    g_doc = d[group_starts]
+    doc_ids_flat = doc_ids[g_doc].astype(np.uint64)
+
+    # term group boundaries over the (term,doc) groups
+    new_term = np.empty(g_term.size, dtype=bool)
+    new_term[0] = True
+    np.not_equal(g_term[1:], g_term[:-1], out=new_term[1:])
+    term_starts = np.nonzero(new_term)[0]
+    term_offsets = np.concatenate([term_starts, [g_term.size]]).astype(np.int64)
+    df = np.diff(term_offsets).astype(np.uint32)
+    terms_present = vocab_sorted[g_term[term_starts]]
+
+    # encode doc ids (delta within term) and tfs in single segmented passes
+    gaps = codecs.segmented_delta(doc_ids_flat, term_offsets)
+    doc_payload, doc_boffs = codecs.segmented_varint_encode(gaps, term_offsets)
+    tf_payload, tf_boffs = codecs.segmented_varint_encode(tfs_flat, term_offsets)
+
+    # per-term aggregates
+    total_tf = np.add.reduceat(tfs_flat, term_offsets[:-1]).astype(np.uint64)
+    max_tf = np.maximum.reduceat(tfs_flat, term_offsets[:-1]).astype(np.uint32)
+
+    # block-max metadata (128-doc blocks within each term's posting list)
+    bstarts, n_blocks = _block_starts(term_offsets)
+    blk_max_tf = np.maximum.reduceat(tfs_flat, bstarts).astype(np.uint64)
+    blk_boffs_list = np.zeros(term_offsets.size, dtype=np.int64)
+    np.cumsum(n_blocks, out=blk_boffs_list[1:])
+    bm_payload, bm_boffs = codecs.segmented_varint_encode(blk_max_tf, blk_boffs_list)
+
+    # block min fieldnorm code per block (needs norms per posting doc)
+    norm_codes = fieldnorm_to_id(tc.norms)
+    posting_norms = norm_codes[g_doc].astype(np.uint8)
+    blk_min_norm = np.minimum.reduceat(posting_norms, bstarts).astype(np.uint8)
+    bn_payload = blk_min_norm.tobytes()
+    bn_boffs = blk_boffs_list  # one byte per block
+
+    if record_positions:
+        # positions delta-encoded within each (term,doc) group
+        pos_gaps = codecs.segmented_delta(p.astype(np.uint64), group_offsets)
+        # slice at TERM boundaries: byte offsets of term starts in token space
+        term_token_offsets = group_offsets[:-1][term_starts]
+        term_token_offsets = np.concatenate([term_token_offsets, [t.size]]).astype(np.int64)
+        pos_payload, pos_boffs = codecs.segmented_varint_encode(pos_gaps, term_token_offsets)
+        pos_arr = _binary_from_offsets(pos_payload, pos_boffs)
+    else:
+        pos_arr = pa.nulls(df.size, type=pa.large_binary())
+
+    table = pa.table(
+        {
+            "field": pa.array([field_name] * df.size, type=pa.string()),
+            "term": pa.array(terms_present, type=pa.string()),
+            "shard": pa.array(np.full(df.size, shard, np.int32)),
+            "df": pa.array(df),
+            "total_tf": pa.array(total_tf),
+            "max_tf": pa.array(max_tf),
+            "doc_ids": _binary_from_offsets(doc_payload, doc_boffs),
+            "tfs": _binary_from_offsets(tf_payload, tf_boffs),
+            "positions": pos_arr,
+            "block_max_tf": _binary_from_offsets(bm_payload, bm_boffs),
+            "block_min_norm": _binary_from_offsets(bn_payload, bn_boffs),
+        }
+    )
+    return PostingsBatch(table=table, total_tokens=int(tc.norms.sum())), tc.norms
+
+
+def build_segment_tables(
+    batch: pa.Table, schema: Schema, doc_id_col: str = "doc_id"
+) -> tuple[pa.Table, pa.Table, pa.Table, dict]:
+    """Turn one batch of documents into (postings, docvalues, store, meta)."""
+    if doc_id_col not in batch.column_names:
+        raise ValueError(f"batch must carry a '{doc_id_col}' column")
+    order = pa.compute.sort_indices(batch[doc_id_col])
+    batch = batch.take(order)
+    doc_ids = batch[doc_id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    posting_parts: list[pa.Table] = []
+    dv_cols: dict[str, pa.Array] = {doc_id_col: pa.array(doc_ids, type=pa.uint64())}
+    field_stats: dict[str, dict] = {}
+
+    for f in schema.fields:
+        if f.is_text and f.indexed:
+            if f.name not in batch.column_names:
+                continue
+            pb, norms = build_field_postings(
+                f.name, f.tokenizer, batch[f.name], doc_ids, f.positions
+            )
+            posting_parts.append(pb.table)
+            dv_cols[f"norm_{f.name}"] = pa.array(fieldnorm_to_id(norms))
+            field_stats[f.name] = {"total_tokens": pb.total_tokens}
+        elif f.is_numeric and f.indexed and f.name in batch.column_names:
+            col = batch[f.name]
+            if f.type == "u64":
+                dv_cols[f.name] = col.cast(pa.uint64()).combine_chunks()
+            elif f.type == "date":
+                dv_cols[f.name] = col.cast(pa.timestamp("us")).combine_chunks()
+            else:
+                dv_cols[f.name] = col.cast(pa.int64()).combine_chunks()
+        elif f.type == FACET and f.name in batch.column_names:
+            dv_cols[f"facet_{f.name}"] = batch[f.name].cast(pa.string()).combine_chunks()
+
+    postings = (
+        pa.concat_tables(posting_parts).sort_by(
+            [("field", "ascending"), ("term", "ascending"), ("shard", "ascending")]
+        )
+        if posting_parts
+        else pa.table({name: pa.array([], type=t) for name, t in POSTINGS_SCHEMA_FIXED})
+    )
+    docvalues = pa.table(dv_cols)
+
+    stored_names = [doc_id_col] + [
+        f.name for f in schema.stored_fields if f.name in batch.column_names and f.name != doc_id_col
+    ]
+    store = batch.select(stored_names)
+
+    meta = {
+        "num_docs": len(batch),
+        "min_doc_id": int(doc_ids.min()) if len(doc_ids) else 0,
+        "max_doc_id": int(doc_ids.max()) if len(doc_ids) else 0,
+        "field_stats": field_stats,
+        "num_terms": postings.num_rows,
+    }
+    return postings, docvalues, store, meta
+
+
+def write_segment(
+    segments_dir: str,
+    postings: pa.Table,
+    docvalues: pa.Table,
+    store: pa.Table,
+    meta: dict,
+    name: str | None = None,
+) -> dict:
+    """Atomically write one segment directory; idempotent by segment name.
+
+    Resumability: the name is deterministic from content (doc range +
+    count), so a rerun of the same partition skips the write — this is
+    the per-partition checkpoint unit (SURVEY.md §7.4 "Resumability").
+    """
+    name = name or f"seg-{meta['min_doc_id']:012d}-{meta['num_docs']}"
+    meta = dict(meta, name=name)
+    final = os.path.join(segments_dir, name)
+    if os.path.exists(os.path.join(final, META_FILE)):
+        with open(os.path.join(final, META_FILE)) as f:
+            return json.load(f)
+    tmp = os.path.join(segments_dir, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, POSTINGS_FILE))
+    pq.write_table(docvalues, os.path.join(tmp, DOCVALUES_FILE))
+    pq.write_table(store, os.path.join(tmp, STORE_FILE))
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # concurrent writer won the race with identical content — keep theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return meta
+
+
+class SegmentReader:
+    """Lazy reader over one segment directory.
+
+    Postings are fetched with a parquet predicate on (field, term) so a
+    query only pulls the posting rows it needs; docvalues (norms / fast
+    fields) load once per reader and are held for the reader's lifetime
+    (the scorer-actor state, SURVEY.md §7.2).
+    """
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        with open(os.path.join(seg_dir, META_FILE)) as f:
+            self.meta = json.load(f)
+        self._docvalues: pa.Table | None = None
+        self._postings_all: pa.Table | None = None
+
+    @property
+    def num_docs(self) -> int:
+        return self.meta["num_docs"]
+
+    def docvalues(self) -> pa.Table:
+        if self._docvalues is None:
+            self._docvalues = pq.read_table(os.path.join(self.dir, DOCVALUES_FILE))
+        return self._docvalues
+
+    def doc_ids(self) -> np.ndarray:
+        return self.docvalues()["doc_id"].to_numpy(zero_copy_only=False)
+
+    def postings_for_terms(self, field: str, terms: list[str]) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        expr = (pads.field("field") == field) & pads.field("term").isin(terms)
+        return pq.read_table(os.path.join(self.dir, POSTINGS_FILE), filters=expr)
+
+    def all_postings(self, field: str | None = None) -> pa.Table:
+        if self._postings_all is None:
+            self._postings_all = pq.read_table(os.path.join(self.dir, POSTINGS_FILE))
+        t = self._postings_all
+        if field is not None:
+            t = t.filter(pa.compute.equal(t["field"], field))
+        return t
+
+    def term_dict(self, field: str) -> pa.Table:
+        """(term, df, max_tf) for automaton queries (fuzzy/regex)."""
+        t = pq.read_table(
+            os.path.join(self.dir, POSTINGS_FILE),
+            columns=["field", "term", "df", "max_tf"],
+        )
+        return t.filter(pa.compute.equal(t["field"], field))
+
+    def store(self, doc_ids: np.ndarray | None = None) -> pa.Table:
+        t = pq.read_table(os.path.join(self.dir, STORE_FILE))
+        if doc_ids is not None:
+            mask = pa.compute.is_in(t["doc_id"], value_set=pa.array(doc_ids, type=pa.uint64()))
+            t = t.filter(mask)
+        return t
+
+
+def decode_posting_row(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, tfs) from one postings row (dict of scalars)."""
+    doc_ids = codecs.decode_doc_ids(row["doc_ids"])
+    tfs = codecs.varint_decode(row["tfs"])
+    return doc_ids, tfs
+
+
+def decode_positions(row: dict, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat positions + per-doc offsets for one postings row."""
+    gaps = codecs.varint_decode(row["positions"])
+    offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs.astype(np.int64), out=offsets[1:])
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    starts = offsets[:-1]
+    base = np.zeros_like(cs)
+    valid = starts[starts < cs.size]
+    lens = np.diff(offsets)
+    base_per_group = cs[valid] - gaps[valid]
+    positions = cs - np.repeat(base_per_group, lens[: valid.size])
+    return positions, offsets

@@ -1,0 +1,240 @@
+"""Conformance suite — exact mirror of the reference's handler tests.
+
+Corpus and expectations from FIXTURES.md §F2 (reference
+`toshi-server/src/commit.rs:44-64` schema+docs, assertions from
+`toshi-server/src/handlers/search.rs:59-197`).
+"""
+
+import tempfile
+
+import pyarrow as pa
+import pytest
+
+from toshi_ray.pipelines.build import build_index
+from toshi_ray.query import QueryError, parse_query
+from toshi_ray.schema import FieldDef, Schema
+from toshi_ray.search import Searcher
+
+
+def corpus_schema() -> Schema:
+    return Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("test_text", "text"),
+        FieldDef("test_i64", "i64", fast=True),
+        FieldDef("test_u64", "u64", fast=True),
+        FieldDef("test_unindex", "text", indexed=False),
+        FieldDef("test_facet", "facet"),
+    )
+
+
+def corpus_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.uint64()),
+            "test_text": [
+                "Test Document 1",
+                "Test Dockument 2",
+                "Test Duckiment 3",
+                "Test Document 4",
+                "Test Document 5",
+            ],
+            "test_i64": [2014, -2015, 2016, -2017, 2018],
+            "test_u64": pa.array([10, 11, 12, 13, 14], pa.uint64()),
+            "test_unindex": ["no", "yes", "noo", "yess", "nooo"],
+            "test_facet": ["/cat/cat2", "/cat/cat2", "/cat/cat3", "/cat/cat4", "/dog/cat2"],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session):
+    import ray
+
+    root = tempfile.mkdtemp(prefix="toshi_conformance_")
+    build_index(ray.data.from_arrow(corpus_table()), corpus_schema(), root)
+    return Searcher(root, distributed=False)
+
+
+def hits(searcher, q, **kw):
+    return searcher.search({"query": q, **kw})
+
+
+def test_term_query(searcher):  # search.rs:60-68
+    r = hits(searcher, {"term": {"test_text": "document"}})
+    assert r["hits"] == 3
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [0, 3, 4]
+
+
+def test_phrase_query(searcher):  # search.rs:71-80
+    r = hits(searcher, {"phrase": {"test_text": {"terms": ["test", "document"]}}})
+    assert r["hits"] == 3
+
+
+def test_phrase_with_offsets(searcher):
+    r = hits(
+        searcher,
+        {"phrase": {"test_text": {"terms": ["test", "1"], "offsets": [0, 2]}}},
+    )
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [0]
+
+
+def test_fuzzy_query(searcher):  # search.rs:141-152
+    r = hits(
+        searcher,
+        {"fuzzy": {"test_text": {"value": "document", "distance": 0, "transposition": False}}},
+    )
+    assert r["hits"] == 3
+    r = hits(
+        searcher,
+        {"fuzzy": {"test_text": {"value": "document", "distance": 1, "transposition": False}}},
+    )
+    assert r["hits"] == 4  # adds "dockument"
+
+
+def test_regex_query(searcher):  # search.rs:177-184
+    r = hits(searcher, {"regex": {"test_text": "d[ou]{1}c[k]?ument"}})
+    assert r["hits"] == 4
+
+
+def test_bool_query(searcher):  # search.rs:187-197
+    r = hits(
+        searcher,
+        {
+            "bool": {
+                "must": [{"term": {"test_text": "document"}}],
+                "must_not": [{"range": {"test_i64": {"gt": 2017}}}],
+            }
+        },
+    )
+    assert r["hits"] == 2
+
+
+def test_bool_minimum_should_match_ignored(searcher):  # boolean.rs:47-60 quirk
+    r = hits(
+        searcher,
+        {
+            "bool": {
+                "should": [{"term": {"test_text": "document"}}],
+                "minimum_should_match": 99,
+                "boost": 5.0,
+            }
+        },
+    )
+    assert r["hits"] == 3
+
+
+def test_range_inclusive(searcher):  # search.rs:155-163
+    r = hits(searcher, {"range": {"test_i64": {"gte": 2012, "lte": 2015}}})
+    assert r["hits"] == 1
+    assert r["docs"][0]["score"] == 1.0
+
+
+def test_range_exclusive(searcher):  # search.rs:166-174
+    r = hits(searcher, {"range": {"test_i64": {"gt": 2012, "lt": 2015}}})
+    assert r["hits"] == 1
+    assert r["docs"][0]["score"] == 1.0
+
+
+def test_range_impossible_is_empty(searcher):  # range.rs:221-229 quirk
+    assert hits(searcher, {"range": {"test_i64": {"gte": 10, "lte": 1}}})["hits"] == 0
+
+
+def test_raw_query(searcher):  # search.rs:127-138
+    r = hits(searcher, {"raw": 'test_text:"Duckiment"'})
+    assert r["docs"][0]["doc"]["test_text"] == "Test Duckiment 3"
+
+
+def test_term_not_analyzed_at_query_time(searcher):  # mod.rs:216-222 quirk
+    assert hits(searcher, {"term": {"test_text": "Document"}})["hits"] == 0
+
+
+def test_facets(searcher):  # search.rs:114-123
+    r = searcher.search(
+        {"query": {"term": {"test_text": "document"}}, "facets": {"test_facet": ["/cat"]}}
+    )
+    assert r["facets"] == {"/cat/cat2": 1, "/cat/cat4": 1}
+
+
+def test_all_docs(searcher):  # search.rs:17, commit.rs:96-108
+    assert searcher.search(None)["hits"] == 5
+    assert searcher.search({"limit": 2})["hits"] == 2
+
+
+def test_sort_by_fast_field(searcher):  # handle.rs:82-92,127-134
+    r = searcher.search({"query": None, "sort_by": "test_u64", "limit": 3})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [4, 3, 2]
+    assert [d["score"] for d in r["docs"]] == [14.0, 13.0, 12.0]  # value reported as score
+
+
+def test_bm25_score_value(searcher):
+    # hand-computed per SURVEY.md §2.5: idf=ln(1+2.5/3.5), tf=1, dl=avgdl=3
+    import math
+
+    r = hits(searcher, {"term": {"test_text": "document"}})
+    expected = math.log(1 + 2.5 / 3.5)
+    for d in r["docs"]:
+        assert abs(d["score"] - expected) < 1e-9
+
+
+# ---- golden error strings (FIXTURES.md §F2) ----
+
+def test_error_unknown_field(searcher):  # search.rs:104-111
+    with pytest.raises(QueryError) as e:
+        hits(searcher, {"term": {"asdf": "document"}})
+    assert str(e.value) == "Error in query execution: 'Unknown field: asdf'"
+
+
+def test_error_raw_syntax(searcher):  # search.rs:83-90
+    with pytest.raises(QueryError) as e:
+        hits(searcher, {"raw": "asd*(@sq__"})
+    assert str(e.value) == "Error in Index: 'Syntax Error: asd*(@sq__'"
+
+
+def test_error_unindexed_field(searcher):  # search.rs:93-101
+    with pytest.raises(QueryError) as e:
+        hits(searcher, {"raw": "test_unindex:yes"})
+    assert (
+        str(e.value)
+        == "Error in Index: 'The field 'test_unindex' is not declared as indexed'"
+    )
+
+
+def test_error_phrase_single_term():  # phrase.rs:84-97
+    with pytest.raises(QueryError) as e:
+        parse_query({"phrase": {"test_text": {"terms": ["x"]}}})
+    assert str(e.value) == "Error in query execution: 'Phrase Query must have more than 1 term'"
+
+
+def test_error_phrase_offsets_mismatch():  # phrase.rs:100-113
+    with pytest.raises(QueryError) as e:
+        parse_query({"phrase": {"test_text": {"terms": ["x", "y"], "offsets": [1]}}})
+    assert (
+        str(e.value)
+        == "Error in query execution: 'Differing numbers of offsets and query terms (2 and 1)'"
+    )
+
+
+def test_error_range_float():  # range.rs:191-203
+    with pytest.raises(QueryError) as e:
+        parse_query({"range": {"test_i64": {"gte": 3.14, "lte": 10}}})
+    assert (
+        str(e.value)
+        == "Error Parsing Json: 'invalid type: floating point `3.14`, expected i64'"
+    )
+
+
+def test_error_range_negative_u64(searcher):  # range.rs:206-218
+    with pytest.raises(QueryError) as e:
+        hits(searcher, {"range": {"test_u64": {"gte": -1, "lte": 10}}})
+    assert str(e.value) == "Error Parsing Json: 'invalid value: integer `-1`, expected u64'"
+
+
+def test_distributed_matches_local(searcher):
+    sd = Searcher(searcher.index_root, distributed=True)
+    for q in [
+        {"term": {"test_text": "document"}},
+        {"phrase": {"test_text": {"terms": ["test", "document"]}}},
+        {"regex": {"test_text": "d[ou]{1}c[k]?ument"}},
+    ]:
+        a, b = searcher.search({"query": q}), sd.search({"query": q})
+        assert a == b

@@ -1,0 +1,333 @@
+"""Toshi's JSON query DSL — parse + validate, with the reference's error strings.
+
+Wire shapes and semantics from the reference's `Query` enum
+(`toshi-types/src/query/mod.rs:70-93`, SURVEY.md §2.3):
+
+    {"term":   {"field": "value"}}
+    {"phrase": {"field": {"terms": [...], "offsets": [...]?}}}
+    {"fuzzy":  {"field": {"value": v, "distance": u8, "transposition": bool}}}
+    {"regex":  {"field": "pattern"}}
+    {"range":  {"field": {"gte":_, "lte":_, "gt":_, "lt":_}}}
+    {"bool":   {"must": [], "must_not": [], "should": [],
+                "minimum_should_match": _, "boost": _}}
+    {"raw":    "field:value AND ..."}
+    query omitted / null  → match-all
+
+Behavioral quirks preserved (FIXTURES.md §F2):
+  * every leaf query addresses exactly ONE field (single-entry map);
+  * bool's `minimum_should_match` / `boost` parse but are IGNORED
+    (reference `query/boolean.rs:47-60` drops them);
+  * nested bool/raw/all inside a bool clause is rejected
+    (`boolean.rs:72`);
+  * term values are NOT analyzed at query time (`query/mod.rs:216-222`);
+  * impossible ranges parse fine and match nothing;
+  * exclusive bounds (gt/lt) win over inclusive (gte/lte)
+    (`query/range.rs:131-153`);
+  * default limit 100 (`query/mod.rs:142-144`).
+
+Error strings are the reference's golden formats:
+  Error in query execution: '...'   (query build/validation)
+  Error in Index: '...'             (raw-parser / unindexed field)
+  Error Parsing Json: '...'         (JSON type errors)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+DEFAULT_LIMIT = 100  # reference `query/mod.rs:142-144` / `settings.rs:33`
+
+
+class QueryError(Exception):
+    """Carries the reference-format message in str(exc)."""
+
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+    @classmethod
+    def execution(cls, detail: str) -> "QueryError":
+        return cls(f"Error in query execution: '{detail}'")
+
+    @classmethod
+    def index(cls, detail: str) -> "QueryError":
+        return cls(f"Error in Index: '{detail}'")
+
+    @classmethod
+    def json(cls, detail: str) -> "QueryError":
+        return cls(f"Error Parsing Json: '{detail}'")
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    field: str
+    terms: tuple[str, ...]
+    offsets: tuple[int, ...] | None = None
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    field: str
+    value: str
+    distance: int = 0
+    transposition: bool = False
+
+
+@dataclass(frozen=True)
+class RegexQuery:
+    field: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class RangeQuery:
+    field: str
+    gte: Any = None
+    lte: Any = None
+    gt: Any = None
+    lt: Any = None
+
+
+@dataclass(frozen=True)
+class BoolQuery:
+    must: tuple = ()
+    must_not: tuple = ()
+    should: tuple = ()
+    # parsed but IGNORED, like the reference (boolean.rs:47-60):
+    minimum_should_match: int | None = None
+    boost: float | None = None
+
+
+@dataclass(frozen=True)
+class AllQuery:
+    pass
+
+
+@dataclass(frozen=True)
+class RawQuery:
+    query: str
+
+
+@dataclass
+class Search:
+    """The POST body: query + limit + facets + sort_by
+    (reference `toshi-types/src/query/mod.rs:106-118`)."""
+
+    query: Any = dc_field(default_factory=AllQuery)
+    limit: int = DEFAULT_LIMIT
+    facets: dict[str, list[str]] | None = None
+    sort_by: str | None = None
+
+    @classmethod
+    def from_json(cls, body: dict | None) -> "Search":
+        body = body or {}
+        return cls(
+            query=parse_query(body.get("query")),
+            limit=int(body.get("limit", DEFAULT_LIMIT)),
+            facets=body.get("facets"),
+            sort_by=body.get("sort_by"),
+        )
+
+
+def _single_entry(obj: dict, kind: str) -> tuple[str, Any]:
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise QueryError.execution(f"{kind} query must address exactly one field")
+    return next(iter(obj.items()))
+
+
+def _check_int_bound(v: Any, field_hint: str = "i64") -> Any:
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise QueryError.json(f"invalid type: {v!r}, expected {field_hint}")
+    if isinstance(v, float):
+        # serde golden: range.rs:191-203
+        raise QueryError.json(
+            f"invalid type: floating point `{v}`, expected i64"
+        )
+    return v
+
+
+def parse_query(obj: Any) -> Any:
+    """JSON query → typed node (validation errors use golden strings)."""
+    if obj is None:
+        return AllQuery()
+    if not isinstance(obj, dict):
+        raise QueryError.execution("Query must be a JSON object")
+    if len(obj) != 1:
+        raise QueryError.execution("Query must have exactly one variant")
+    kind, body = next(iter(obj.items()))
+
+    if kind == "term":
+        f, v = _single_entry(body, "Term")
+        return TermQuery(field=f, value=str(v))
+
+    if kind == "phrase":
+        f, v = _single_entry(body, "Phrase")
+        terms = v.get("terms", []) if isinstance(v, dict) else []
+        offsets = v.get("offsets") if isinstance(v, dict) else None
+        if len(terms) <= 1:
+            # golden: query/phrase.rs:84-97
+            raise QueryError.execution("Phrase Query must have more than 1 term")
+        if offsets is not None and len(terms) != len(offsets):
+            # golden: query/phrase.rs:100-113
+            raise QueryError.execution(
+                f"Differing numbers of offsets and query terms ({len(terms)} and {len(offsets)})"
+            )
+        return PhraseQuery(
+            field=f,
+            terms=tuple(str(t) for t in terms),
+            offsets=tuple(int(o) for o in offsets) if offsets is not None else None,
+        )
+
+    if kind == "fuzzy":
+        f, v = _single_entry(body, "Fuzzy")
+        if not isinstance(v, dict) or "value" not in v:
+            raise QueryError.execution("Fuzzy query requires a value")
+        return FuzzyQuery(
+            field=f,
+            value=str(v["value"]),
+            distance=int(v.get("distance", 0)),
+            transposition=bool(v.get("transposition", False)),
+        )
+
+    if kind == "regex":
+        f, v = _single_entry(body, "Regex")
+        return RegexQuery(field=f, pattern=str(v))
+
+    if kind == "range":
+        f, v = _single_entry(body, "Range")
+        if not isinstance(v, dict):
+            raise QueryError.execution("Range query requires bounds")
+        bounds = {k: _check_int_bound(v.get(k)) for k in ("gte", "lte", "gt", "lt")}
+        if all(b is None for b in bounds.values()):
+            raise QueryError.execution("Range query must have at least one bound")
+        return RangeQuery(field=f, **bounds)
+
+    if kind == "bool":
+        if not isinstance(body, dict):
+            raise QueryError.execution("Bool query requires clauses")
+        def clauses(key: str) -> tuple:
+            out = []
+            for c in body.get(key, []):
+                sub = parse_query(c)
+                if isinstance(sub, (BoolQuery, RawQuery, AllQuery)):
+                    # reference rejects nested bool/raw/all (boolean.rs:72)
+                    raise QueryError.execution(
+                        "Invalid query type in Bool query"
+                    )
+                out.append(sub)
+            return tuple(out)
+
+        return BoolQuery(
+            must=clauses("must"),
+            must_not=clauses("must_not"),
+            should=clauses("should"),
+            minimum_should_match=body.get("minimum_should_match"),
+            boost=body.get("boost"),
+        )
+
+    if kind == "raw":
+        return RawQuery(query=str(body))
+
+    if kind == "all":
+        return AllQuery()
+
+    raise QueryError.execution(f"Unknown query type: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Raw (Lucene-ish) query parser — reference routes these through tantivy's
+# QueryParser over all schema fields (`toshi-server/src/handle.rs:115-119`).
+# Unlike {"term": ...}, raw text IS analyzed with the field's tokenizer.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_RAW_CLAUSE = _re.compile(
+    r"""\s*(?P<occur>[+-])?
+        (?:(?P<field>[A-Za-z_][\w.]*):)?
+        (?:"(?P<phrase>[^"]*)"|(?P<term>[^\s()"]+))\s*""",
+    _re.VERBOSE,
+)
+_RAW_OK = _re.compile(r'^[\s\w.:+\-"]*$')
+
+
+def parse_raw(raw: str, schema) -> Any:
+    """Desugar a raw query string to a Term/Phrase/Bool tree.
+
+    Supported surface: `field:term`, `field:"a phrase"`, `+`/`-` occurs,
+    AND/OR connectors, bare terms over all indexed text fields. Anything
+    else is the reference's golden syntax error
+    (`handlers/search.rs:83-90`).
+    """
+    from toshi_ray.analyzer import get_analyzer
+
+    if not _RAW_OK.match(raw) or raw.count('"') % 2 == 1:
+        raise QueryError.index(f"Syntax Error: {raw}")
+
+    pos = 0
+    items: list[tuple[str, Any]] = []  # (occur, node)
+    conj_all = False
+    while pos < len(raw):
+        m = _RAW_CLAUSE.match(raw, pos)
+        if not m or m.end() == pos:
+            if raw[pos:].strip():
+                raise QueryError.index(f"Syntax Error: {raw}")
+            break
+        pos = m.end()
+        tok = m.group("term")
+        if tok in ("AND", "OR") and not m.group("field"):
+            conj_all = conj_all or tok == "AND"
+            continue
+        field = m.group("field")
+        text = m.group("phrase") if m.group("phrase") is not None else tok
+        occur = m.group("occur") or "?"
+
+        if field is not None:
+            fdef = schema.field(field)
+            if fdef is None:
+                raise QueryError.execution(f"Unknown field: {field}")
+            if not fdef.indexed:
+                # golden: handlers/search.rs:93-101
+                raise QueryError.index(
+                    f"The field '{field}' is not declared as indexed"
+                )
+            targets = [fdef]
+        else:
+            targets = schema.text_fields
+            if not targets:
+                raise QueryError.index(f"Syntax Error: {raw}")
+
+        per_field = []
+        for fdef in targets:
+            if fdef.is_text:
+                toks = get_analyzer(fdef.tokenizer).tokens(text)
+                if len(toks) == 0:
+                    continue
+                node = TermQuery(fdef.name, toks[0]) if len(toks) == 1 else PhraseQuery(
+                    fdef.name, tuple(toks)
+                )
+            else:
+                node = TermQuery(fdef.name, text)
+            per_field.append(node)
+        if not per_field:
+            continue
+        node = per_field[0] if len(per_field) == 1 else BoolQuery(should=tuple(per_field))
+        items.append((occur, node))
+
+    if not items:
+        raise QueryError.index(f"Syntax Error: {raw}")
+    if len(items) == 1 and items[0][0] in ("?", "+"):
+        return items[0][1]
+    must = tuple(n for o, n in items if o == "+" or (o == "?" and conj_all))
+    must_not = tuple(n for o, n in items if o == "-")
+    should = tuple(n for o, n in items if o == "?" and not conj_all)
+    return BoolQuery(must=must, must_not=must_not, should=should)

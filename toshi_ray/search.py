@@ -1,0 +1,623 @@
+"""BM25 top-k search over segment partitions.
+
+Execution mirrors the reference's search path (`LocalIndex::search_index`,
+`toshi-server/src/handle.rs:77-160`, SURVEY.md §3.3) re-expressed for a
+partitioned index: the driver computes GLOBAL statistics (N, avgdl, per
+query-term df summed across segments — the stats-broadcast step
+SURVEY.md §2.5 calls out), broadcasts (plan, stats) to per-segment
+scorers, each scorer produces a local top-k + facet counts, and the
+driver heap-merges and cuts to k — the `SearchResults` Add/Sum monoid
+(`toshi-types/src/client.rs:37-55`) with the re-sort the reference's
+concat-merge omits.
+
+Scoring semantics (tantivy 0.19 as configured by Toshi, SURVEY.md §2.5):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = idf * (k1+1) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+    k1=1.2, b=0.75; dl = byte-quantized fieldnorm, avgdl from exact
+    token totals; phrase queries use Σ idf of their terms and the
+    phrase frequency; range/all/regex/fuzzy score a constant 1.0
+    (fuzzy/regex are automaton queries → const scorer); bool sums its
+    scoring clauses. Tie-break: (score desc, doc_id asc) — doc ids are
+    insertion-ordered (SURVEY.md §2.2 T4).
+
+Scorers run as Ray actors (one per segment group — the stateful stage
+holding postings/norms, SURVEY.md §7.2); a local in-process mode exists
+for tiny indexes and tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from toshi_ray import codecs
+from toshi_ray.fieldnorm import id_to_fieldnorm
+from toshi_ray.query import (
+    AllQuery,
+    BoolQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    QueryError,
+    RangeQuery,
+    RawQuery,
+    RegexQuery,
+    Search,
+    TermQuery,
+    parse_raw,
+)
+from toshi_ray.schema import Schema
+from toshi_ray.segments import SegmentReader
+
+K1 = 1.2
+B = 0.75
+
+MANIFEST_FILE = "manifest.json"
+SCHEMA_FILE = "schema.json"
+SEGMENTS_DIR = "segments"
+
+
+def idf(n_docs: int, df) -> np.ndarray | float:
+    df = np.asarray(df, dtype=np.float64)
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def take_ranges(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather many [start, start+len) slices of ``values`` (vectorized)."""
+    if starts.size == 0 or lens.sum() == 0:
+        return values[:0]
+    total = int(lens.sum())
+    shift = np.repeat(starts - (np.cumsum(lens) - lens), lens)
+    return values[np.arange(total, dtype=np.int64) + shift]
+
+
+@dataclass
+class Stats:
+    """Broadcast global statistics."""
+
+    n_docs: int
+    avgdl: dict  # field -> float
+    idf: dict  # (field, term) -> float
+
+
+def _levenshtein_filter(
+    terms: list[str], query: str, distance: int, transposition: bool
+) -> list[str]:
+    """Terms within edit distance — vectorized DP over the candidate matrix."""
+    if distance == 0:
+        return [t for t in terms if t == query]
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    cands = [t for t in terms if abs(len(t) - len(query)) <= distance]
+    if not cands:
+        return []
+    maxlen = max(len(t) for t in cands)
+    mat = np.zeros((len(cands), maxlen), dtype=np.uint32)
+    lens = np.empty(len(cands), dtype=np.int64)
+    for i, t in enumerate(cands):  # fill once; DP below is vectorized
+        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        mat[i, : b.size] = b
+        lens[i] = b.size
+    n = len(cands)
+    prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int32), (n, maxlen + 1)).copy()
+    prev2 = None
+    for j in range(1, q.size + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        sub_cost = (mat != q[j - 1]).astype(np.int32)
+        for c in range(1, maxlen + 1):
+            cur[:, c] = np.minimum(
+                np.minimum(cur[:, c - 1] + 1, prev[:, c] + 1),
+                prev[:, c - 1] + sub_cost[:, c - 1],
+            )
+            if transposition and j >= 2 and c >= 2 and prev2 is not None:
+                swap = (mat[:, c - 1] == q[j - 2]) & (mat[:, c - 2] == q[j - 1])
+                cur[:, c] = np.where(
+                    swap, np.minimum(cur[:, c], prev2[:, c - 2] + 1), cur[:, c]
+                )
+        prev2, prev = prev, cur
+    d = prev[np.arange(n), lens]
+    return [t for t, di in zip(cands, d) if di <= distance]
+
+
+class SegmentGroupScorer:
+    """Holds readers for a group of segments; evaluates query plans.
+
+    This is the stateful stage: norms / fast fields load once per actor
+    (`__init__`-style amortization) and postings are fetched per query
+    with parquet predicate pushdown on (field, term).
+    """
+
+    def __init__(self, seg_dirs: list[str], schema_json: list):
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+        self.schema = Schema.from_json(schema_json)
+
+    # ---------------- stats phase ----------------
+
+    def term_dfs(self, pairs: list[tuple[str, str]]) -> dict:
+        out: dict[tuple[str, str], int] = {}
+        by_field: dict[str, list[str]] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, []).append(t)
+        for r in self.readers:
+            for f, terms in by_field.items():
+                tbl = r.postings_for_terms(f, terms)
+                for term, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                    out[(f, term)] = out.get((f, term), 0) + int(df)
+        return out
+
+    # ---------------- scoring phase ----------------
+
+    def score_topk(
+        self,
+        plan,
+        stats: Stats,
+        k: int,
+        sort_by: str | None = None,
+        facets: dict | None = None,
+    ):
+        """Per-segment eval → local top-k. Returns
+        (rows [(doc_id, score, seg_idx_local)], facet_counts dict)."""
+        top_rows: list[tuple[int, float, int]] = []
+        facet_counts: dict[str, int] = {}
+        for si, reader in enumerate(self.readers):
+            doc_ids, scores = self._eval(plan, reader, stats)
+            if facets:
+                self._count_facets(reader, doc_ids, facets, facet_counts)
+            if doc_ids.size == 0:
+                continue
+            if sort_by is not None:
+                fdef = self.schema.field(sort_by)
+                if fdef is None:
+                    raise QueryError.execution(f"Unknown field: {sort_by}")
+                vals = self._fast_values(reader, sort_by, doc_ids).astype(np.float64)
+                order = np.lexsort((doc_ids, -vals))[:k]
+                for i in order:
+                    top_rows.append((int(doc_ids[i]), float(vals[i]), si))
+            else:
+                order = np.lexsort((doc_ids, -scores))[:k]
+                for i in order:
+                    top_rows.append((int(doc_ids[i]), float(scores[i]), si))
+        return top_rows, facet_counts
+
+    def count_matches(self, plan, stats: Stats) -> int:
+        return sum(self._eval(plan, r, stats)[0].size for r in self.readers)
+
+    def fetch_docs(self, wanted: dict) -> list[dict]:
+        """wanted: {local segment idx: [doc_ids]} → stored docs."""
+        out = []
+        for si, ids in wanted.items():
+            t = self.readers[si].store(np.asarray(ids, dtype=np.uint64))
+            out.extend(t.to_pylist())
+        return out
+
+    # ---------------- evaluation ----------------
+
+    def _norm_lookup(self, reader: SegmentReader, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        dv = reader.docvalues()
+        col = f"norm_{field}"
+        all_ids = reader.doc_ids()
+        idx = np.searchsorted(all_ids, doc_ids)
+        if col not in dv.column_names:
+            return np.zeros(doc_ids.size, dtype=np.uint64)
+        codes = dv[col].to_numpy(zero_copy_only=False)
+        return id_to_fieldnorm(codes[idx])
+
+    def _fast_values(self, reader: SegmentReader, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        dv = reader.docvalues()
+        if field not in dv.column_names:
+            raise QueryError.execution(f"Unknown field: {field}")
+        all_ids = reader.doc_ids()
+        idx = np.searchsorted(all_ids, doc_ids)
+        return dv[field].to_numpy(zero_copy_only=False)[idx]
+
+    def _field_or_raise(self, name: str):
+        fdef = self.schema.field(name)
+        if fdef is None:
+            raise QueryError.execution(f"Unknown field: {name}")
+        if not fdef.indexed:
+            raise QueryError.index(f"The field '{name}' is not declared as indexed")
+        return fdef
+
+    def _postings(self, reader: SegmentReader, field: str, term: str):
+        """Concatenated (doc_ids, tfs, rows) across hot-term shards."""
+        tbl = reader.postings_for_terms(field, [term])
+        if tbl.num_rows == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64), []
+        rows = tbl.to_pylist()
+        parts = [codecs.decode_doc_ids(r["doc_ids"]) for r in rows]
+        tf_parts = [codecs.varint_decode(r["tfs"]) for r in rows]
+        return np.concatenate(parts), np.concatenate(tf_parts), rows
+
+    def _bm25(self, reader, field, doc_ids, tfs, weight_idf, stats: Stats) -> np.ndarray:
+        dl = self._norm_lookup(reader, field, doc_ids).astype(np.float64)
+        avgdl = max(stats.avgdl.get(field, 0.0), 1e-9)
+        tf = tfs.astype(np.float64)
+        return weight_idf * (K1 + 1.0) * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+    def _eval(self, node, reader: SegmentReader, stats: Stats):
+        """→ (sorted unique doc_ids: uint64, scores: float64)."""
+        if isinstance(node, AllQuery):
+            ids = reader.doc_ids().astype(np.uint64)
+            return ids, np.ones(ids.size, np.float64)
+
+        if isinstance(node, TermQuery):
+            fdef = self._field_or_raise(node.field)
+            if fdef.is_text:
+                doc_ids, tfs, _ = self._postings(reader, node.field, node.value)
+                if doc_ids.size == 0:
+                    return doc_ids, np.empty(0, np.float64)
+                w = stats.idf.get((node.field, node.value), 0.0)
+                return doc_ids, self._bm25(reader, node.field, doc_ids, tfs, w, stats)
+            # numeric/facet equality — constant score (divergence note: the
+            # reference only exercises term queries on text fields)
+            dv = reader.docvalues()
+            col = node.field if fdef.is_numeric else f"facet_{node.field}"
+            if col not in dv.column_names:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            vals = dv[col]
+            target = int(node.value) if fdef.is_numeric else node.value
+            mask = pc.equal(vals, target).to_numpy(zero_copy_only=False)
+            ids = reader.doc_ids()[mask].astype(np.uint64)
+            return ids, np.ones(ids.size, np.float64)
+
+        if isinstance(node, PhraseQuery):
+            return self._eval_phrase(node, reader, stats)
+
+        if isinstance(node, (FuzzyQuery, RegexQuery)):
+            fdef = self._field_or_raise(node.field)
+            dict_tbl = reader.term_dict(node.field)
+            terms = dict_tbl["term"].to_pylist()
+            if isinstance(node, FuzzyQuery):
+                matched = _levenshtein_filter(
+                    sorted(set(terms)), node.value, node.distance, node.transposition
+                )
+            else:
+                try:
+                    pat = re.compile(node.pattern)
+                except re.error:
+                    raise QueryError.execution(f"Invalid regex: {node.pattern}")
+                matched_mask = pc.match_substring_regex(
+                    pa.array(sorted(set(terms))), f"^(?:{node.pattern})$"
+                ).to_numpy(zero_copy_only=False)
+                matched = [t for t, m in zip(sorted(set(terms)), matched_mask) if m]
+            if not matched:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            parts = [self._postings(reader, node.field, t)[0] for t in matched]
+            ids = np.unique(np.concatenate(parts))
+            return ids, np.ones(ids.size, np.float64)  # const scorer (automaton query)
+
+        if isinstance(node, RangeQuery):
+            fdef = self._field_or_raise(node.field)
+            if not fdef.is_numeric:
+                raise QueryError.execution(
+                    f"Range queries are only supported for i64 and u64 fields"
+                )
+            if fdef.type == "u64":
+                for bnd in (node.gte, node.lte, node.gt, node.lt):
+                    if bnd is not None and bnd < 0:
+                        raise QueryError.json(
+                            f"invalid value: integer `{bnd}`, expected u64"
+                        )
+            vals = self._fast_values_all(reader, node.field)
+            mask = np.ones(vals.size, dtype=bool)
+            # exclusive bounds win over inclusive (range.rs:131-153)
+            if node.gt is not None:
+                mask &= vals > node.gt
+            elif node.gte is not None:
+                mask &= vals >= node.gte
+            if node.lt is not None:
+                mask &= vals < node.lt
+            elif node.lte is not None:
+                mask &= vals <= node.lte
+            ids = reader.doc_ids()[mask].astype(np.uint64)
+            return ids, np.ones(ids.size, np.float64)
+
+        if isinstance(node, BoolQuery):
+            return self._eval_bool(node, reader, stats)
+
+        raise QueryError.execution(f"Unsupported query node: {type(node).__name__}")
+
+    def _fast_values_all(self, reader: SegmentReader, field: str) -> np.ndarray:
+        dv = reader.docvalues()
+        if field not in dv.column_names:
+            raise QueryError.execution(f"Unknown field: {field}")
+        return dv[field].to_numpy(zero_copy_only=False)
+
+    def _eval_phrase(self, node: PhraseQuery, reader: SegmentReader, stats: Stats):
+        fdef = self._field_or_raise(node.field)
+        if not fdef.positions:
+            raise QueryError.execution(
+                f"Field '{node.field}' does not record positions"
+            )
+        offsets = node.offsets or tuple(range(len(node.terms)))
+        per_term = []
+        for t in node.terms:
+            tbl = reader.postings_for_terms(node.field, [t])
+            if tbl.num_rows == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            rows = tbl.to_pylist()
+            ids = np.concatenate([codecs.decode_doc_ids(r["doc_ids"]) for r in rows])
+            tfs = np.concatenate([codecs.varint_decode(r["tfs"]) for r in rows])
+            pos_parts, off_parts = [], []
+            for r in rows:
+                tfr = codecs.varint_decode(r["tfs"])
+                gaps = codecs.varint_decode(r["positions"])
+                offs = np.zeros(tfr.size + 1, np.int64)
+                np.cumsum(tfr.astype(np.int64), out=offs[1:])
+                cs = np.cumsum(gaps, dtype=np.uint64)
+                base = cs[offs[:-1]] - gaps[offs[:-1]]
+                pos = cs - np.repeat(base, np.diff(offs))
+                pos_parts.append(pos)
+                off_parts.append(offs)
+            # concat offset arrays across shard rows
+            pos = np.concatenate(pos_parts)
+            lens = np.concatenate([np.diff(o) for o in off_parts])
+            offs = np.zeros(lens.size + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            per_term.append((ids, pos.astype(np.int64), offs))
+
+        cand = per_term[0][0]
+        for ids, _, _ in per_term[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return cand.astype(np.uint64), np.empty(0, np.float64)
+
+        survivors = None
+        for i, (ids, pos, offs) in enumerate(per_term):
+            delta = offsets[i] - offsets[0]
+            sel = np.searchsorted(ids, cand)
+            starts, lens = offs[sel], offs[sel + 1] - offs[sel]
+            flat = take_ranges(pos, starts, lens)
+            docidx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            adj = flat - delta
+            ok = adj >= 0
+            keys = (docidx[ok] << np.int64(32)) | adj[ok]
+            survivors = keys if survivors is None else np.intersect1d(
+                survivors, keys, assume_unique=True
+            )
+            if survivors.size == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+        ptf = np.bincount((survivors >> np.int64(32)), minlength=cand.size)
+        hit = ptf > 0
+        doc_ids = cand[hit].astype(np.uint64)
+        sum_idf = float(sum(stats.idf.get((node.field, t), 0.0) for t in node.terms))
+        scores = self._bm25(reader, node.field, doc_ids, ptf[hit], sum_idf, stats)
+        return doc_ids, scores
+
+    def _eval_bool(self, node: BoolQuery, reader: SegmentReader, stats: Stats):
+        musts = [self._eval(q, reader, stats) for q in node.must]
+        shoulds = [self._eval(q, reader, stats) for q in node.should]
+        if musts:
+            ids, scores = musts[0]
+            for mids, mscores in musts[1:]:
+                ids, ia, ib = np.intersect1d(ids, mids, assume_unique=True, return_indices=True)
+                scores = scores[ia] + mscores[ib]
+            for sids, sscores in shoulds:
+                common, ia, ib = np.intersect1d(ids, sids, assume_unique=True, return_indices=True)
+                scores = scores.copy()
+                scores[ia] += sscores[ib]
+        elif shoulds:
+            ids = np.unique(np.concatenate([s[0] for s in shoulds]))
+            scores = np.zeros(ids.size, np.float64)
+            for sids, sscores in shoulds:
+                np.add.at(scores, np.searchsorted(ids, sids), sscores)
+        else:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        for q in node.must_not:
+            nids, _ = self._eval(q, reader, stats)
+            keep = ~np.isin(ids, nids, assume_unique=True)
+            ids, scores = ids[keep], scores[keep]
+        return ids, scores
+
+    def _count_facets(self, reader, doc_ids, facets: dict, acc: dict):
+        # only the FIRST requested facet root is honored (handle.rs:146-155)
+        field, roots = next(iter(facets.items()))
+        fdef = self.schema.field(field)
+        if fdef is None:
+            raise QueryError.execution(f"Unknown field: {field}")
+        root = roots[0] if roots else "/"
+        dv = reader.docvalues()
+        col = f"facet_{field}"
+        if col not in dv.column_names or doc_ids.size == 0:
+            return
+        all_ids = reader.doc_ids()
+        vals = dv[col].to_numpy(zero_copy_only=False)[np.searchsorted(all_ids, doc_ids)]
+        prefix = root.rstrip("/") + "/"
+        for v in vals:
+            if isinstance(v, str) and v.startswith(prefix):
+                rest = v[len(prefix):]
+                child = prefix + rest.split("/")[0]
+                acc[child] = acc.get(child, 0) + 1
+
+
+def _collect_term_stats_needs(node, schema: Schema) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    if isinstance(node, TermQuery):
+        fdef = schema.field(node.field)
+        if fdef is not None and fdef.is_text:
+            out.append((node.field, node.value))
+    elif isinstance(node, PhraseQuery):
+        out.extend((node.field, t) for t in node.terms)
+    elif isinstance(node, BoolQuery):
+        for sub in (*node.must, *node.should, *node.must_not):
+            out.extend(_collect_term_stats_needs(sub, schema))
+    return out
+
+
+class Searcher:
+    """Query-side handle over one index directory (manifest + scorers).
+
+    Mirrors the reference's reader/searcher (`handle.rs:232`,
+    reload-on-commit): `refresh()` re-reads the manifest after a new
+    commit. Scorer actors are created lazily and reused across queries.
+    """
+
+    def __init__(
+        self,
+        index_root: str,
+        parallelism: int = 8,
+        distributed: bool | None = None,
+    ):
+        self.index_root = index_root
+        self.parallelism = parallelism
+        if distributed is None:
+            try:
+                import ray
+
+                distributed = ray.is_initialized()
+            except Exception:
+                distributed = False
+        self.distributed = distributed
+        self._groups: list = []
+        self.refresh()
+
+    # ------------- lifecycle -------------
+
+    def refresh(self) -> None:
+        with open(os.path.join(self.index_root, MANIFEST_FILE)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(self.index_root, SCHEMA_FILE)) as f:
+            self.schema = Schema.from_json(json.load(f))
+        self.segments = self.manifest["segments"]
+        self.n_docs = sum(s["num_docs"] for s in self.segments)
+        self.avgdl = {}
+        totals: dict[str, int] = {}
+        for s in self.segments:
+            for fname, st in s.get("field_stats", {}).items():
+                totals[fname] = totals.get(fname, 0) + st["total_tokens"]
+        for fname, tot in totals.items():
+            self.avgdl[fname] = tot / self.n_docs if self.n_docs else 0.0
+        self._teardown_groups()
+
+    def _teardown_groups(self):
+        self._groups = []
+
+    def _seg_dir(self, seg: dict) -> str:
+        return os.path.join(self.index_root, SEGMENTS_DIR, seg["name"])
+
+    def _ensure_groups(self):
+        if self._groups:
+            return
+        dirs = [self._seg_dir(s) for s in self.segments]
+        n_groups = max(1, min(self.parallelism, len(dirs)))
+        grouped = [dirs[i::n_groups] for i in range(n_groups)]
+        schema_json = self.schema.to_json()
+        if self.distributed:
+            import ray
+
+            Actor = ray.remote(num_cpus=1)(SegmentGroupScorer)
+            self._groups = [
+                ("ray", Actor.remote(g, schema_json)) for g in grouped if g
+            ]
+        else:
+            self._groups = [
+                ("local", SegmentGroupScorer(g, schema_json)) for g in grouped if g
+            ]
+        # map (group, local idx) -> global segment dir for doc fetch
+        self._group_dirs = [g for g in grouped if g]
+
+    def _call(self, method: str, *args):
+        self._ensure_groups()
+        outs = []
+        ray_refs = []
+        for kind, g in self._groups:
+            if kind == "ray":
+                ray_refs.append(getattr(g, method).remote(*args))
+            else:
+                outs.append(getattr(g, method)(*args))
+        if ray_refs:
+            import ray
+
+            outs.extend(ray.get(ray_refs))
+        return outs
+
+    # ------------- queries -------------
+
+    def _plan(self, body) -> Search:
+        s = body if isinstance(body, Search) else Search.from_json(body)
+        if isinstance(s.query, RawQuery):
+            s.query = parse_raw(s.query.query, self.schema)
+        return s
+
+    def _stats_for(self, plan) -> Stats:
+        needs = sorted(set(_collect_term_stats_needs(plan, self.schema)))
+        idf_map: dict = {}
+        if needs:
+            dfs: dict = {}
+            for part in self._call("term_dfs", needs):
+                for kt, df in part.items():
+                    dfs[kt] = dfs.get(kt, 0) + df
+            for kt in needs:
+                idf_map[kt] = float(idf(self.n_docs, dfs.get(kt, 0)))
+        return Stats(n_docs=self.n_docs, avgdl=self.avgdl, idf=idf_map)
+
+    def search(self, body: dict | Search | None = None) -> dict:
+        """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""
+        s = self._plan(body)
+        stats = self._stats_for(s.query)
+        results = self._call("score_topk", s.query, stats, s.limit, s.sort_by, s.facets)
+
+        rows = []  # (doc_id, score, group idx, local seg idx)
+        facet_acc: dict[str, int] = {}
+        for gi, (top, fc) in enumerate(results):
+            rows.extend((d, sc, gi, si) for d, sc, si in top)
+            for k, v in fc.items():
+                facet_acc[k] = facet_acc.get(k, 0) + v
+        # global (score desc, doc_id asc) merge, cut to limit
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[: s.limit]
+
+        # fetch stored fields for the winners only (SURVEY.md §3.3)
+        wanted_by_group: dict[int, dict[int, list[int]]] = {}
+        for d, _, gi, si in rows:
+            wanted_by_group.setdefault(gi, {}).setdefault(si, []).append(d)
+        docs_by_id: dict[int, dict] = {}
+        self._ensure_groups()
+        fetch_refs = []
+        for gi, wanted in wanted_by_group.items():
+            kind, g = self._groups[gi]
+            if kind == "ray":
+                fetch_refs.append(g.fetch_docs.remote(wanted))
+            else:
+                for doc in g.fetch_docs(wanted):
+                    docs_by_id[int(doc["doc_id"])] = doc
+        if fetch_refs:
+            import ray
+
+            for part in ray.get(fetch_refs):
+                for doc in part:
+                    docs_by_id[int(doc["doc_id"])] = doc
+
+        docs = [
+            {"score": float(sc), "doc": _jsonify(docs_by_id.get(int(d), {"doc_id": int(d)}))}
+            for d, sc, _, _ in rows
+        ]
+        out = {"hits": len(docs), "docs": docs}
+        if s.facets is not None:
+            out["facets"] = facet_acc
+        return out
+
+    def count(self, body: dict | Search | None = None) -> int:
+        s = self._plan(body)
+        stats = self._stats_for(s.query)
+        return sum(self._call("count_matches", s.query, stats))
+
+
+def _jsonify(doc: dict) -> dict:
+    out = {}
+    for k, v in doc.items():
+        if isinstance(v, (np.integer,)):
+            v = int(v)
+        elif isinstance(v, np.floating):
+            v = float(v)
+        elif isinstance(v, list) and len(v) == 1:
+            v = v[0]  # FlatNamedDocument single-element flatten (mod.rs:322-338)
+        out[k] = v
+    return out

@@ -52,6 +52,7 @@ POSTINGS_SCHEMA_FIXED = [
     ("term", pa.string()),
     ("shard", pa.int32()),
     ("df", pa.uint32()),
+    ("first_doc", pa.uint64()),
     ("total_tf", pa.uint64()),
     ("max_tf", pa.uint32()),
     ("doc_ids", pa.large_binary()),
@@ -191,6 +192,7 @@ def build_field_postings(
             "term": pa.array(terms_present, type=pa.string()),
             "shard": pa.array(np.full(df.size, shard, np.int32)),
             "df": pa.array(df),
+            "first_doc": pa.array(doc_ids_flat[term_offsets[:-1]]),
             "total_tf": pa.array(total_tf),
             "max_tf": pa.array(max_tf),
             "doc_ids": _binary_from_offsets(doc_payload, doc_boffs),

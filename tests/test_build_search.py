@@ -1,0 +1,141 @@
+"""Rank-identity + pipeline tests over the synthetic web-page table (F1/F6).
+
+The engine (any partitioning, before or after merge) must match the
+brute-force NumPy oracle rank-identically with equal scores.
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from toshi_ray.functions.oracle import BruteForceIndex
+from toshi_ray.pipelines.build import build_index
+from toshi_ray.pipelines.merge import delete_by_term, gc_segments, merge_segments
+from toshi_ray.schema import FieldDef, Schema
+from toshi_ray.search import Searcher
+from toshi_ray.sources.webpages import extract_text, make_pages_batch, pages_dataset
+
+N_DOCS = 1500
+
+
+def page_schema() -> Schema:
+    return Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("url", "text", indexed=False),
+        FieldDef("text", "text"),
+        FieldDef("lang", "facet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    tbl = make_pages_batch(np.arange(N_DOCS))
+    docs = [
+        {"doc_id": i, "text": t}
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    ]
+    return BruteForceIndex(docs, {"text": "default"})
+
+
+@pytest.fixture(scope="module", params=[1, 7])
+def searcher(request, ray_session):
+    """The same corpus at 1 segment and at 7 segments."""
+    root = tempfile.mkdtemp(prefix=f"toshi_rank_{request.param}_")
+    per_seg = -(-N_DOCS // request.param)
+    build_index(pages_dataset(N_DOCS, parallelism=4), page_schema(), root,
+                docs_per_segment=per_seg)
+    return Searcher(root, distributed=False)
+
+
+QUERY_TERMS = ["the", "www", "w00042", "w00100", "w01000", "w19999", "missingterm"]
+PHRASES = [["the", "of"], ["w00042", "the"], ["page", "home"]]
+
+
+def engine_topk(searcher, q, k=20):
+    r = searcher.search({"query": q, "limit": k})
+    return [(d["doc"]["doc_id"], d["score"]) for d in r["docs"]]
+
+
+def test_term_rank_identity(searcher, oracle):
+    for t in QUERY_TERMS:
+        got = engine_topk(searcher, {"term": {"text": t}})
+        want = oracle.topk(oracle.term_scores("text", t), 20)
+        assert [g[0] for g in got] == [w[0] for w in want], t
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
+
+
+def test_phrase_rank_identity(searcher, oracle):
+    for terms in PHRASES:
+        got = engine_topk(searcher, {"phrase": {"text": {"terms": terms}}})
+        want = oracle.topk(oracle.phrase_scores("text", terms), 20)
+        assert [g[0] for g in got] == [w[0] for w in want], terms
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
+
+
+def test_bool_rank_identity(searcher, oracle):
+    q = {
+        "bool": {
+            "must": [{"term": {"text": "w00042"}}],
+            "should": [{"term": {"text": "the"}}],
+            "must_not": [{"term": {"text": "w00100"}}],
+        }
+    }
+    got = engine_topk(searcher, q, 30)
+    m = oracle.term_scores("text", "w00042")
+    s = oracle.term_scores("text", "the")
+    n = oracle.term_scores("text", "w00100")
+    comb = {i: sc + s.get(i, 0.0) for i, sc in m.items() if i not in n}
+    want = oracle.topk(comb, 30)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
+
+
+def test_rank_identity_survives_merge(searcher, oracle, tmp_path):
+    if len(searcher.manifest["segments"]) == 1:
+        pytest.skip("single segment — merge is a no-op")
+    before = {t: engine_topk(searcher, {"term": {"text": t}}) for t in QUERY_TERMS}
+    merge_segments(searcher.index_root, hot_df_threshold=200, shard_span=500)
+    s2 = Searcher(searcher.index_root, distributed=False)
+    for t in QUERY_TERMS:
+        assert engine_topk(s2, {"term": {"text": t}}) == before[t], t
+
+
+def test_extract_invariant_and_determinism():
+    tbl = make_pages_batch(np.arange(0, 400))
+    assert extract_text(tbl["html"]).to_pylist() == tbl["text"].to_pylist()
+    # regeneration at a different batching is byte-identical
+    part = make_pages_batch(np.arange(100, 200))
+    assert tbl.slice(100, 100).equals(part)
+
+
+def test_delete_by_term(ray_session):
+    root = tempfile.mkdtemp(prefix="toshi_del_")
+    build_index(pages_dataset(600, parallelism=2), page_schema(), root,
+                docs_per_segment=200)
+    s = Searcher(root, distributed=False)
+    n_before = s.count({"query": {"term": {"text": "w00050"}}})
+    assert n_before > 0
+    n_del = delete_by_term(root, "text", "w00050")
+    assert n_del == n_before
+    s2 = Searcher(root, distributed=False)
+    assert s2.count({"query": {"term": {"text": "w00050"}}}) == 0
+    # all-docs view also excludes tombstoned docs
+    assert s2.count(None) == 600 - n_del
+    # merge applies physically
+    merge_segments(root)
+    s3 = Searcher(root, distributed=False)
+    assert s3.count({"query": {"term": {"text": "w00050"}}}) == 0
+    assert s3.n_docs == 600 - n_del
+    gc_segments(root)
+
+
+def test_build_is_resumable(ray_session):
+    root = tempfile.mkdtemp(prefix="toshi_resume_")
+    m1 = build_index(pages_dataset(300, parallelism=2), page_schema(), root,
+                     docs_per_segment=100)
+    # second call with same root: returns existing manifest, no rebuild
+    m2 = build_index(pages_dataset(300, parallelism=2), page_schema(), root,
+                     docs_per_segment=100)
+    assert m2["version"] == m1["version"]
+    assert [s["name"] for s in m2["segments"]] == [s["name"] for s in m1["segments"]]

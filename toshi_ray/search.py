@@ -79,11 +79,13 @@ def take_ranges(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.
 
 @dataclass
 class Stats:
-    """Broadcast global statistics."""
+    """Broadcast global statistics (+ tombstoned doc ids, applied at
+    query time until a merge removes them physically)."""
 
     n_docs: int
     avgdl: dict  # field -> float
     idf: dict  # (field, term) -> float
+    tombstones: np.ndarray | None = None
 
 
 def _levenshtein_filter(
@@ -167,6 +169,9 @@ class SegmentGroupScorer:
         facet_counts: dict[str, int] = {}
         for si, reader in enumerate(self.readers):
             doc_ids, scores = self._eval(plan, reader, stats)
+            if stats.tombstones is not None and stats.tombstones.size and doc_ids.size:
+                keep = ~np.isin(doc_ids, stats.tombstones)
+                doc_ids, scores = doc_ids[keep], scores[keep]
             if facets:
                 self._count_facets(reader, doc_ids, facets, facet_counts)
             if doc_ids.size == 0:
@@ -186,7 +191,13 @@ class SegmentGroupScorer:
         return top_rows, facet_counts
 
     def count_matches(self, plan, stats: Stats) -> int:
-        return sum(self._eval(plan, r, stats)[0].size for r in self.readers)
+        n = 0
+        for r in self.readers:
+            ids = self._eval(plan, r, stats)[0]
+            if stats.tombstones is not None and stats.tombstones.size and ids.size:
+                ids = ids[~np.isin(ids, stats.tombstones)]
+            n += ids.size
+        return n
 
     def fetch_docs(self, wanted: dict) -> list[dict]:
         """wanted: {local segment idx: [doc_ids]} → stored docs."""
@@ -494,7 +505,17 @@ class Searcher:
                 totals[fname] = totals.get(fname, 0) + st["total_tokens"]
         for fname, tot in totals.items():
             self.avgdl[fname] = tot / self.n_docs if self.n_docs else 0.0
+        self.tombstones = self._load_tombstones()
         self._teardown_groups()
+
+    def _load_tombstones(self) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.index_root, "tombstones")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return np.empty(0, np.uint64)
+        t = pq.read_table(d)
+        return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
 
     def _teardown_groups(self):
         self._groups = []
@@ -556,7 +577,12 @@ class Searcher:
                     dfs[kt] = dfs.get(kt, 0) + df
             for kt in needs:
                 idf_map[kt] = float(idf(self.n_docs, dfs.get(kt, 0)))
-        return Stats(n_docs=self.n_docs, avgdl=self.avgdl, idf=idf_map)
+        return Stats(
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            idf=idf_map,
+            tombstones=self.tombstones if self.tombstones.size else None,
+        )
 
     def search(self, body: dict | Search | None = None) -> dict:
         """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""

@@ -317,13 +317,24 @@ class SegmentReader:
         self._docvalues: pa.Table | None = None
         self._postings_all: pa.Table | None = None
 
+    def _path(self, fname: str) -> str:
+        """A segment part is a single file (fresh build) or a directory
+        of parquet parts (merged segment)."""
+        p = os.path.join(self.dir, fname)
+        if os.path.exists(p):
+            return p
+        alt = os.path.join(self.dir, fname.replace(".parquet", ""))
+        if os.path.isdir(alt):
+            return alt
+        raise FileNotFoundError(p)
+
     @property
     def num_docs(self) -> int:
         return self.meta["num_docs"]
 
     def docvalues(self) -> pa.Table:
         if self._docvalues is None:
-            self._docvalues = pq.read_table(os.path.join(self.dir, DOCVALUES_FILE))
+            self._docvalues = pq.read_table(self._path(DOCVALUES_FILE))
         return self._docvalues
 
     def doc_ids(self) -> np.ndarray:
@@ -333,11 +344,11 @@ class SegmentReader:
         import pyarrow.dataset as pads
 
         expr = (pads.field("field") == field) & pads.field("term").isin(terms)
-        return pq.read_table(os.path.join(self.dir, POSTINGS_FILE), filters=expr)
+        return pq.read_table(self._path(POSTINGS_FILE), filters=expr)
 
     def all_postings(self, field: str | None = None) -> pa.Table:
         if self._postings_all is None:
-            self._postings_all = pq.read_table(os.path.join(self.dir, POSTINGS_FILE))
+            self._postings_all = pq.read_table(self._path(POSTINGS_FILE))
         t = self._postings_all
         if field is not None:
             t = t.filter(pa.compute.equal(t["field"], field))
@@ -346,13 +357,13 @@ class SegmentReader:
     def term_dict(self, field: str) -> pa.Table:
         """(term, df, max_tf) for automaton queries (fuzzy/regex)."""
         t = pq.read_table(
-            os.path.join(self.dir, POSTINGS_FILE),
+            self._path(POSTINGS_FILE),
             columns=["field", "term", "df", "max_tf"],
         )
         return t.filter(pa.compute.equal(t["field"], field))
 
     def store(self, doc_ids: np.ndarray | None = None) -> pa.Table:
-        t = pq.read_table(os.path.join(self.dir, STORE_FILE))
+        t = pq.read_table(self._path(STORE_FILE))
         if doc_ids is not None:
             mask = pa.compute.is_in(t["doc_id"], value_set=pa.array(doc_ids, type=pa.uint64()))
             t = t.filter(mask)

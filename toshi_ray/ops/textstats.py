@@ -1,0 +1,168 @@
+"""Text analysis operators — language-ID, quality scoring, token stats,
+document fingerprinting. All vectorized `map_batches` stages; every
+formula here is deliberately simple enough to mirror in ANSI SQL so the
+DuckDB oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from toshi_ray.analyzer import DefaultAnalyzer
+
+# fixed stopword sets — mirrored verbatim in the SQL oracles
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "for", "on", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break preference
+
+_U = np.uint64
+FP_BASE = _U(1_000_003)
+FP_MOD = _U((1 << 61) - 1)
+
+
+def _tokenize(t: pa.Table, col: str):
+    an = DefaultAnalyzer()
+    tc = an.tokenize_column(t[col].combine_chunks())
+    return tc
+
+
+def _per_doc_count_in_set(tc, n_docs: int, words: set[str]) -> np.ndarray:
+    mask = pc.is_in(tc.terms, value_set=pa.array(sorted(words))).to_numpy(
+        zero_copy_only=False
+    )
+    return np.bincount(tc.doc_index[mask], minlength=n_docs)
+
+
+def token_stats(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, n_tokens, n_uniq, n_ws_tokens, text_chars)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        n_tokens = tc.norms
+        # unique terms per doc: count boundaries of sorted (doc, term)
+        order = np.lexsort((np.asarray(tc.terms.to_pylist(), dtype=object), tc.doc_index))
+        d = tc.doc_index[order]
+        terms = np.asarray(tc.terms.to_pylist(), dtype=object)[order]
+        if d.size:
+            new = np.ones(d.size, dtype=bool)
+            new[1:] = (d[1:] != d[:-1]) | (terms[1:] != terms[:-1])
+            n_uniq = np.bincount(d[new], minlength=n)
+        else:
+            n_uniq = np.zeros(n, dtype=np.int64)
+        ws = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks().cast(pa.string()), ""), pattern=r"\s+"
+        )
+        flat_len = pc.binary_length(ws.flatten().cast(pa.binary())).to_numpy(zero_copy_only=False)
+        offs = ws.offsets.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n), np.diff(offs))
+        n_ws = np.bincount(doc_of[flat_len > 0], minlength=n)
+        chars = pc.utf8_length(
+            pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_uniq": pa.array(n_uniq.astype(np.int64)),
+                "n_ws_tokens": pa.array(n_ws.astype(np.int64)),
+                "text_chars": pa.array(chars.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, n_tokens, stop_ratio, distinct_ratio, quality).
+
+    quality = 0.4·min(n_tokens/200, 1) + 0.3·stop_ratio + 0.3·distinct_ratio
+    (length prior + stopword-density prior + repetition penalty) —
+    rounded to 6 dp to stay float-comparable with the SQL oracle.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        n_tok = tc.norms.astype(np.float64)
+        stops = _per_doc_count_in_set(tc, n, set(STOPWORDS["en"])).astype(np.float64)
+        # distinct ratio
+        order = np.lexsort((np.asarray(tc.terms.to_pylist(), dtype=object), tc.doc_index))
+        d = tc.doc_index[order]
+        terms = np.asarray(tc.terms.to_pylist(), dtype=object)[order]
+        if d.size:
+            new = np.ones(d.size, dtype=bool)
+            new[1:] = (d[1:] != d[:-1]) | (terms[1:] != terms[:-1])
+            n_uniq = np.bincount(d[new], minlength=n).astype(np.float64)
+        else:
+            n_uniq = np.zeros(n)
+        safe = np.maximum(n_tok, 1.0)
+        stop_ratio = stops / safe
+        distinct_ratio = n_uniq / safe
+        quality = (
+            0.4 * np.minimum(n_tok / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * distinct_ratio
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(tc.norms.astype(np.int64)),
+                "n_stop": pa.array(stops.astype(np.int64)),
+                "n_uniq": pa.array(n_uniq.astype(np.int64)),
+                "stop_ratio": pa.array(stop_ratio),
+                "distinct_ratio": pa.array(distinct_ratio),
+                "quality": pa.array(quality),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, pred_lang): stopword-set voting, ties broken by
+    LANG_ORDER then 'en' when nothing matches. N-gram-free heuristic
+    language ID, SQL-mirrorable."""
+
+    def pred(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        votes = np.stack(
+            [_per_doc_count_in_set(tc, n, set(STOPWORDS[l])) for l in LANG_ORDER]
+        )  # (n_langs, n_docs)
+        best = np.argmax(votes, axis=0)  # argmax picks FIRST max → LANG_ORDER tie-break
+        none = votes.max(axis=0) == 0
+        langs = np.asarray(LANG_ORDER, dtype=object)[best]
+        langs[none] = "en"
+        return pa.table({id_col: t[id_col], "pred_lang": pa.array(langs, type=pa.string())})
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+def fingerprint(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, fp): rolling polynomial hash over the token stream
+    (mod 2^61−1) — an order-sensitive document fingerprint."""
+    from toshi_ray.ops.dedup import _hash_strings
+
+    def fp(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        th = _hash_strings(tc.terms) % FP_MOD
+        out = np.zeros(n, dtype=_U)
+        # horner over each doc's token stream; loop bounded by max doc
+        # length, vectorized across docs
+        counts = np.bincount(tc.doc_index, minlength=n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        max_len = int(counts.max()) if n else 0
+        for j in range(max_len):
+            sel = counts > j
+            idx = offs[:-1][sel] + j
+            out[sel] = (out[sel] * FP_BASE + th[idx]) % FP_MOD
+        return pa.table({id_col: t[id_col], "fp": pa.array(out)})
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,494 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+Each engine query here has a string-for-string SQL twin (same column
+NAMES, same value semantics) so the correctness driver can value-hash
+Ray results against DuckDB on the same parquet tables. The SQL
+re-implements the analyzer chain (`regexp_split_to_array(lower(text),
+'[^a-z0-9]+')` + length filters — exact for the ASCII test corpus) and
+full BM25 with the byte-quantized fieldnorm table inlined as VALUES —
+nothing is shared with the engine beyond the published formulas
+(SURVEY.md §2.5), so agreement is a real cross-check.
+
+Scores are rounded to 4 dp on BOTH sides (floating summation order
+differs between numpy and DuckDB only below that).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from toshi_ray.fieldnorm import FIELD_NORMS_TABLE
+from toshi_ray.ops.textstats import LANG_ORDER, STOPWORDS
+from toshi_ray.schema import FieldDef, Schema
+from toshi_ray.search import Searcher
+
+CACHE_ROOT = "/tmp/toshi_ray_idx"
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+TOKENS_CTE = (
+    "toks AS (SELECT doc_id, n_chars, lang, source, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " t -> length(t) > 0 AND strlen(t) < 40) AS tk FROM documents)"
+)
+
+
+def _norm_values_sql() -> str:
+    vals = ",".join(f"({int(v)})" for v in FIELD_NORMS_TABLE)
+    return f"norm_table(val) AS (VALUES {vals})"
+
+
+def bm25_topk_sql(term: str, k: int) -> str:
+    """Full BM25 top-k in ANSI SQL (global stats, quantized norms)."""
+    return f"""
+WITH {TOKENS_CTE},
+{_norm_values_sql()},
+base AS (
+  SELECT doc_id, len(tk) AS dl_raw,
+         len(list_filter(tk, t -> t = '{term}')) AS tf
+  FROM toks
+),
+quant AS (
+  SELECT b.doc_id, b.dl_raw, b.tf,
+         (SELECT max(val) FROM norm_table v WHERE v.val <= b.dl_raw) AS dl
+  FROM base b
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl_raw) AS total,
+         count(*) FILTER (tf > 0) AS df
+  FROM base
+)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+       CAST(floor(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * 2.2 * q.tf
+             / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) * 10000.0) AS BIGINT) AS score_x1e4
+FROM quant q, stats s
+WHERE q.tf > 0
+ORDER BY ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * 2.2 * q.tf
+         / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) DESC, q.doc_id
+LIMIT {k}
+"""
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Index cache (one build per sf_dir, resumable — rerun returns instantly)
+# ---------------------------------------------------------------------------
+
+_SEARCHERS: dict[str, Searcher] = {}
+
+
+def documents_schema() -> Schema:
+    return Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("text", "text"),
+        FieldDef("lang_facet", "facet"),
+        FieldDef("lang", "text", indexed=False),
+        FieldDef("source", "text", indexed=False),
+        FieldDef("n_chars", "i64", fast=True),
+    )
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once) and return the index root for sf_dir's documents table."""
+    import ray.data
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, key)
+    os.makedirs(root, exist_ok=True)
+
+    def add_facet(t: pa.Table) -> pa.Table:
+        lf = pa.compute.binary_join_element_wise("/lang/", t["lang"].cast(pa.string()), "")
+        return t.append_column("lang_facet", lf)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        add_facet, batch_format="pyarrow"
+    )
+    from toshi_ray.pipelines.build import build_index
+
+    build_index(ds, documents_schema(), root, docs_per_segment=20_000,
+                lineage=f"documents@{sf_dir}")
+    return root
+
+
+def searcher_for(sf_dir: str) -> Searcher:
+    root = documents_index(sf_dir)
+    if root not in _SEARCHERS:
+        _SEARCHERS[root] = Searcher(root, distributed=False)
+    return _SEARCHERS[root]
+
+
+def _ids_frame(ids: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# The query registry: name → (engine callable, oracle SQL or None)
+# ---------------------------------------------------------------------------
+
+def q_term_topk(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search({"query": {"term": {"text": "spark"}}, "limit": 50})
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
+def q_raw_topk(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search({"query": {"raw": "text:Spark"}, "limit": 50})  # raw IS analyzed
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
+def q_term_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    return _ids_frame(s.match_doc_ids({"query": {"term": {"text": "window"}}}))
+
+
+def q_phrase_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    return _ids_frame(
+        s.match_doc_ids({"query": {"phrase": {"text": {"terms": ["group", "sort"]}}}})
+    )
+
+
+def q_bool_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    q = {
+        "bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "must_not": [{"range": {"n_chars": {"gt": 300}}}],
+        }
+    }
+    return _ids_frame(s.match_doc_ids({"query": q}))
+
+
+def q_range_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    ids = s.match_doc_ids({"query": {"range": {"n_chars": {"gte": 200, "lte": 300}}}})
+    return _ids_frame(ids)
+
+
+def q_fuzzy_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    q = {"fuzzy": {"text": {"value": "spark", "distance": 1, "transposition": False}}}
+    return _ids_frame(s.match_doc_ids({"query": q}))
+
+
+def q_regex_matches(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    return _ids_frame(s.match_doc_ids({"query": {"regex": {"text": "s.a.k"}}}))
+
+
+def q_facet_counts(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search(
+        {"query": {"term": {"text": "spark"}}, "facets": {"lang_facet": ["/lang"]}, "limit": 1}
+    )
+    items = sorted(r["facets"].items())
+    return pd.DataFrame(
+        {"facet": [k for k, _ in items], "n": [int(v) for _, v in items]}
+    )
+
+
+def q_all_limit(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search({"limit": 100})
+    return _ids_frame(np.array([d["doc"]["doc_id"] for d in r["docs"]]))
+
+
+def q_sort_topk(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search({"query": None, "sort_by": "n_chars", "limit": 20})
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "n_chars": [int(d["score"]) for d in r["docs"]],
+        }
+    )
+
+
+# ---- training-data ops ----
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.dedup import exact_dedup
+
+    rows = exact_dedup(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows)[["doc_id", "n_copies"]]
+    return df.astype({"doc_id": "int64", "n_copies": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+    rows = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16).take_all()
+    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.dedup import simhash_signatures
+
+    rows = simhash_signatures(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows)
+    df["simhash"] = df["simhash"].astype("uint64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(_docs_ds(sf_dir), "source", threshold=0.05).take_all()
+    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.dedup import embedding_near_dup_pairs
+
+    rows = embedding_near_dup_pairs(_emb_ds(sf_dir), threshold=0.35, n_planes=4).take_all()
+    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.similarity import brute_force_topk
+
+    head = _emb_ds(sf_dir).limit(5).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    qids = np.array([r["vec_id"] for r in head])
+    df = brute_force_topk(_emb_ds(sf_dir), q, k=10, query_ids=qids)
+    df["score_x1e3"] = np.floor(df["score"] * 1000.0 + 0.5).astype("int64")
+    return df.drop(columns=["score"]).astype({"query_id": "int64", "vec_id": "int64"})
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _emb_ds(sf_dir)
+    head = emb.limit(5).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    qids = np.array([r["vec_id"] for r in head])
+    cent = train_ivf_centroids(emb, n_cells=8)
+    df = ivf_topk(emb, q, cent, k=10, nprobe=3, query_ids=qids)
+    df["score"] = df["score"].round(4)
+    return df.astype({"query_id": "int64", "vec_id": "int64"})
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.textstats import token_stats
+
+    rows = token_stats(_docs_ds(sf_dir)).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.textstats import quality_score
+
+    rows = quality_score(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    # integer-scaled for hash-stable comparison (both sides floor the
+    # SAME IEEE double expression, so the bits match)
+    df["quality_x1e6"] = np.floor(df["quality"] * 1e6).astype("int64")
+    return df[["doc_id", "n_tokens", "n_stop", "n_uniq", "quality_x1e6"]]
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.textstats import lang_id
+
+    rows = lang_id(_docs_ds(sf_dir)).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.textstats import fingerprint
+
+    rows = fingerprint(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows)
+    df["fp"] = df["fp"].astype("uint64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL — one entry per SQL-expressible query above
+# ---------------------------------------------------------------------------
+
+def oracle_sql_map() -> dict[str, str]:
+    en = _stop_list_sql("en")
+    sql: dict[str, str] = {}
+
+    sql["term_topk"] = bm25_topk_sql("spark", 50)
+    sql["raw_topk"] = bm25_topk_sql("spark", 50)
+
+    sql["term_matches"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
+WHERE list_contains(tk, 'window') ORDER BY doc_id
+"""
+
+    sql["phrase_matches"] = f"""
+WITH {TOKENS_CTE},
+u AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS i FROM toks)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.tok = 'group' AND b.tok = 'sort'
+ORDER BY doc_id
+"""
+
+    sql["bool_matches"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
+WHERE list_contains(tk, 'spark') AND NOT (n_chars > 300) ORDER BY doc_id
+"""
+
+    sql["range_matches"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE n_chars >= 200 AND n_chars <= 300 ORDER BY doc_id
+"""
+
+    sql["fuzzy_matches"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
+WHERE len(list_filter(tk, t -> levenshtein(t, 'spark') <= 1)) > 0 ORDER BY doc_id
+"""
+
+    sql["regex_matches"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
+WHERE len(list_filter(tk, t -> regexp_full_match(t, 's.a.k'))) > 0 ORDER BY doc_id
+"""
+
+    sql["facet_counts"] = f"""
+WITH {TOKENS_CTE}
+SELECT '/lang/' || lang AS facet, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE list_contains(tk, 'spark') GROUP BY lang ORDER BY facet
+"""
+
+    sql["all_limit"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents ORDER BY doc_id LIMIT 100
+"""
+
+    sql["sort_topk"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+    sql["dedup_exact"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+    sql["ann_bruteforce"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+SELECT CAST(q.query_id AS BIGINT) AS query_id, CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(floor(list_cosine_similarity(q.embedding, e.embedding) * 1000.0 + 0.5) AS BIGINT) AS score_x1e3
+FROM q, embeddings e
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+) <= 10
+ORDER BY query_id, score_x1e3 DESC, vec_id
+"""
+
+    sql["token_stats"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS text_chars
+FROM (SELECT d.doc_id, d.text, t.tk FROM documents d JOIN toks t USING (doc_id))
+ORDER BY doc_id
+"""
+
+    sql["quality"] = f"""
+WITH {TOKENS_CTE},
+v AS (
+  SELECT doc_id, len(tk) AS n_tok,
+         len(list_filter(tk, t -> list_contains({en}, t))) AS stops,
+         len(list_distinct(tk)) AS uniqs
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(stops AS BIGINT) AS n_stop,
+       CAST(uniqs AS BIGINT) AS n_uniq,
+       CAST(floor((0.4 * least(n_tok / 200.0, 1.0)
+             + 0.3 * (stops / greatest(n_tok, 1))
+             + 0.3 * (uniqs / greatest(n_tok, 1))) * 1000000.0) AS BIGINT) AS quality_x1e6
+FROM v ORDER BY doc_id
+"""
+
+    lang_counts = ",\n         ".join(
+        f"len(list_filter(tk, t -> list_contains({_stop_list_sql(l)}, t))) AS c_{l}"
+        for l in LANG_ORDER
+    )
+    sql["lang_id"] = f"""
+WITH {TOKENS_CTE},
+v AS (SELECT doc_id,
+         {lang_counts}
+      FROM toks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'en'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM v ORDER BY doc_id
+"""
+    return sql
+
+
+QUERIES = {
+    "term_topk": q_term_topk,
+    "raw_topk": q_raw_topk,
+    "term_matches": q_term_matches,
+    "phrase_matches": q_phrase_matches,
+    "bool_matches": q_bool_matches,
+    "range_matches": q_range_matches,
+    "fuzzy_matches": q_fuzzy_matches,
+    "regex_matches": q_regex_matches,
+    "facet_counts": q_facet_counts,
+    "all_limit": q_all_limit,
+    "sort_topk": q_sort_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embed_near_dup": q_embed_near_dup,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivf": q_ann_ivf,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}

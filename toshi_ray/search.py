@@ -191,13 +191,16 @@ class SegmentGroupScorer:
         return top_rows, facet_counts
 
     def count_matches(self, plan, stats: Stats) -> int:
-        n = 0
+        return sum(a.size for a in self.match_ids(plan, stats))
+
+    def match_ids(self, plan, stats: Stats) -> list[np.ndarray]:
+        out = []
         for r in self.readers:
             ids = self._eval(plan, r, stats)[0]
             if stats.tombstones is not None and stats.tombstones.size and ids.size:
                 ids = ids[~np.isin(ids, stats.tombstones)]
-            n += ids.size
-        return n
+            out.append(ids)
+        return out
 
     def fetch_docs(self, wanted: dict) -> list[dict]:
         """wanted: {local segment idx: [doc_ids]} → stored docs."""
@@ -634,6 +637,15 @@ class Searcher:
         s = self._plan(body)
         stats = self._stats_for(s.query)
         return sum(self._call("count_matches", s.query, stats))
+
+    def match_doc_ids(self, body: dict | Search | None = None) -> np.ndarray:
+        """All matching doc_ids, globally sorted (no limit applied)."""
+        s = self._plan(body)
+        stats = self._stats_for(s.query)
+        parts = [a for group in self._call("match_ids", s.query, stats) for a in group]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(np.concatenate(parts))
 
 
 def _jsonify(doc: dict) -> dict:

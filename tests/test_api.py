@@ -1,0 +1,102 @@
+"""Catalog/handler surface tests — FIXTURES.md §F3 (bulk + rollback) and
+the create → add → search lifecycle (§F4)."""
+
+import tempfile
+
+import pytest
+
+from toshi_ray.api import IndexCatalog
+from toshi_ray.query import QueryError
+
+F2_SCHEMA = [
+    {"name": "test_text", "type": "text",
+     "options": {"indexing": {"record": "position", "tokenizer": "default"}, "stored": True}},
+    {"name": "test_i64", "type": "i64", "options": {"indexed": True, "stored": True, "fast": True}},
+    {"name": "test_u64", "type": "u64", "options": {"indexed": True, "stored": True, "fast": True}},
+    {"name": "test_unindex", "type": "text", "options": {"stored": True}},
+    {"name": "test_facet", "type": "facet", "options": {"stored": True}},
+]
+
+F2_DOCS = [
+    {"test_text": "Test Document 1", "test_i64": 2014, "test_u64": 10, "test_unindex": "no", "test_facet": "/cat/cat2"},
+    {"test_text": "Test Dockument 2", "test_i64": -2015, "test_u64": 11, "test_unindex": "yes", "test_facet": "/cat/cat2"},
+    {"test_text": "Test Duckiment 3", "test_i64": 2016, "test_u64": 12, "test_unindex": "noo", "test_facet": "/cat/cat3"},
+    {"test_text": "Test Document 4", "test_i64": -2017, "test_u64": 13, "test_unindex": "yess", "test_facet": "/cat/cat4"},
+    {"test_text": "Test Document 5", "test_i64": 2018, "test_u64": 14, "test_unindex": "nooo", "test_facet": "/dog/cat2"},
+]
+
+BULK_OK = "\n".join(
+    [
+        '{"test_text": "asdf1234", "test_i64": 123, "test_u64": 321, "test_unindex": "asdf", "test_facet": "/cat/cat4"}',
+        '{"test_text": "asdf5678", "test_i64": 456, "test_u64": 678, "test_unindex": "asdf", "test_facet": "/cat/cat4"}',
+        '{"test_text": "asdf9012", "test_i64": -12, "test_u64": 901, "test_unindex": "asdf", "test_facet": "/cat/cat4"}',
+    ]
+)
+BULK_BAD = BULK_OK.replace('"test_u64": 901', '"test_u64": -9')
+
+
+@pytest.fixture()
+def catalog(ray_session):
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_cat_"))
+    c.create_index("test_index", F2_SCHEMA)
+    for d in F2_DOCS:
+        c.add_document("test_index", {"document": d})
+    return c
+
+
+def test_create_list_summary(catalog):
+    assert catalog.list_indexes() == ["test_index"]
+    with pytest.raises(QueryError):
+        catalog.create_index("test_index", F2_SCHEMA)  # already exists
+    s = catalog.index_summary("test_index", include_sizes=True)
+    assert s["summaries"]["num_docs"] == 5
+    assert all(v > 0 for v in s["summaries"]["segment_sizes"].values())
+
+
+def test_all_docs_and_search(catalog):
+    assert catalog.all_docs("test_index")["hits"] == 5
+    r = catalog.search("test_index", {"query": {"term": {"test_text": "document"}}})
+    assert r["hits"] == 3
+
+
+def test_bulk_then_flush_total_8(catalog):  # bulk.rs:149-172
+    assert catalog.bulk_insert("test_index", BULK_OK)["docs"] == 3
+    catalog.flush("test_index")
+    assert catalog.all_docs("test_index")["hits"] == 8
+    r = catalog.search("test_index", {"query": {"term": {"test_text": "asdf1234"}}})
+    assert r["hits"] == 1
+
+
+def test_bulk_rollback_on_bad_u64(catalog):  # bulk.rs:174-189
+    with pytest.raises(QueryError) as e:
+        catalog.bulk_insert("test_index", BULK_BAD)
+    assert "expected u64" in str(e.value)
+    assert catalog.all_docs("test_index")["hits"] == 5  # nothing visible
+
+
+def test_add_doc_commit_then_visible(catalog):  # commit.rs:96-108
+    catalog.add_document(
+        "test_index",
+        {"options": {"commit": True},
+         "document": {"test_text": "Test Document 6", "test_i64": 2019, "test_u64": 15,
+                      "test_unindex": "!", "test_facet": "/cat/cat5"}},
+    )
+    assert catalog.all_docs("test_index")["hits"] == 6
+
+
+def test_add_non_object_errors(catalog):  # handlers/index.rs:150-169
+    with pytest.raises(QueryError) as e:
+        catalog.add_document("test_index", {"document": "not an object"})
+    assert str(e.value) == "Error in Index: 'The provided string is not valid JSON'"
+
+
+def test_delete_term(catalog):
+    r = catalog.delete_term("test_index", {"test_text": "duckiment"})
+    assert r["docs_affected"] == 1
+    assert catalog.all_docs("test_index")["hits"] == 4
+
+
+def test_unknown_index():
+    c = IndexCatalog(tempfile.mkdtemp())
+    with pytest.raises(QueryError):
+        c.search("nope", None)

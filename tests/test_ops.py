@@ -1,0 +1,163 @@
+"""Training-data ops tests — verified against in-process DuckDB / numpy
+oracles on the real sf0.001 tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_sql(docs):
+    from toshi_ray.ops.dedup import exact_dedup
+
+    got = pd.DataFrame(exact_dedup(docs).take_all()).sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+        f"FROM read_parquet('{SF}/documents.parquet') GROUP BY text ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_exact_dedup_finds_injected_dups(ray_session):
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["same text", "other", "same text", "same text"]})
+    from toshi_ray.ops.dedup import exact_dedup
+
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup(ray.data.from_arrow(t)).take_all()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here now " * 5
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.3).take_all()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in keys
+    assert (0, 2) not in keys and (1, 2) not in keys
+
+
+def test_simhash_near_dup(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    near = base.replace("zeta", "zzeta")
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": [base, near]})
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(ray.data.from_arrow(t)).take_all()}
+    ham = bin(int(sigs[0]) ^ int(sigs[1])).count("1")
+    assert ham <= 12
+    pairs = simhash_near_dup_pairs(ray.data.from_arrow(t), max_hamming=12).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_brute_force_ann_matches_numpy(emb):
+    from toshi_ray.ops.similarity import brute_force_topk
+
+    rows = emb.take_all()
+    vecs = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = vecs[:3]
+    got = brute_force_topk(emb, q, k=5, query_ids=ids[:3])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ vn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = ids[order].tolist()
+        sub = got[got.query_id == ids[qi]]
+        assert sub["vec_id"].tolist() == want
+
+
+def test_ivf_recall_reasonable(emb):
+    from toshi_ray.ops.similarity import brute_force_topk, ivf_topk, train_ivf_centroids
+
+    head = emb.limit(5).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    bf = brute_force_topk(emb, q, k=10)
+    cent = train_ivf_centroids(emb, n_cells=8)
+    iv = ivf_topk(emb, q, cent, k=10, nprobe=4)
+    bs = set(map(tuple, bf[["query_id", "vec_id"]].values.tolist()))
+    is_ = set(map(tuple, iv[["query_id", "vec_id"]].values.tolist()))
+    assert len(bs & is_) / len(bs) >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_token_stats_matches_sql(docs):
+    from toshi_ray.ops.textstats import token_stats
+
+    got = pd.DataFrame(token_stats(docs).take_all()).sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'),
+                      t -> length(t)>0 AND strlen(t)<40) tk
+                      FROM read_parquet('{SF}/documents.parquet'))
+        SELECT doc_id, len(tk) n_tokens, len(list_distinct(tk)) n_uniq,
+               len(list_filter(regexp_split_to_array(text,'\\s+'), t->length(t)>0)) n_ws_tokens,
+               length(text) text_chars
+        FROM toks ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_lang_id_prefers_matching_stopwords(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.textstats import lang_id
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["the cat is on the mat", "der hund ist nicht mit der katze",
+                           "xyz qrs tuv"]})
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(ray.data.from_arrow(t)).take_all()}
+    assert got == {0: "en", 1: "de", 2: "en"}
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.textstats import fingerprint
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["a b c", "c b a", "a b c"]})
+    got = {r["doc_id"]: r["fp"] for r in fingerprint(ray.data.from_arrow(t)).take_all()}
+    assert got[0] == got[2] != got[1]
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.multimodal import FrameSampleStage, decode_images
+
+    imgs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "data": pa.array([b"payload-1", b"payload-2"], pa.binary())})
+    rows = decode_images(ray.data.from_arrow(imgs), concurrency=1, batch_size=2).take_all()
+    assert len(rows) == 2 and len(rows[0]["feature"]) == 16
+    assert rows[0]["width"] >= 1 and rows[0]["mode"] in ("RGB", "L")
+    # deterministic: same payload → same fake decode
+    rows2 = decode_images(ray.data.from_arrow(imgs), concurrency=1, batch_size=1).take_all()
+    assert rows == rows2
+
+    fs = FrameSampleStage()(pa.table({"doc_id": pa.array([7], pa.int64()),
+                                      "duration_ms": pa.array([2500], pa.int64())}))
+    assert fs["frame_ms"].to_pylist() == [0, 1000, 2000]

@@ -1,0 +1,218 @@
+"""Index catalog + handler surface — the reference's REST semantics as a
+Python API.
+
+Mirrors the route table at `toshi-server/src/router.rs:52-74`:
+
+    GET  /_list            → IndexCatalog.list_indexes()
+    PUT  /{idx}/_create    → create_index(name, schema_json)
+    GET  /{idx}/_summary   → index_summary(name, include_sizes)
+    GET  /{idx}/_flush     → flush(name)
+    POST /{idx}/_bulk      → bulk_insert(name, ndjson)      (rollback on error)
+    POST /{idx}            → search(name, body)
+    PUT  /{idx}            → add_document(name, {options, document})
+    DELETE /{idx}          → delete_term(name, {field: term})
+    GET  /{idx}            → all_docs(name)
+
+The reference's catalog is a dir-scan over a base path
+(`toshi-server/src/index.rs:102-124`); ours scans for index manifests.
+"Commit" everywhere is an atomic manifest swap, which also gives the
+bulk path its whole-batch rollback for free (parse error ⇒ nothing
+published — `handlers/bulk.rs:121-129` semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from toshi_ray.pipelines.build import (
+    MANIFEST_FILE,
+    SCHEMA_FILE,
+    SEGMENTS_DIR,
+    load_manifest,
+    publish_manifest,
+)
+from toshi_ray.query import QueryError
+from toshi_ray.schema import Schema
+from toshi_ray.search import Searcher
+from toshi_ray.segments import build_segment_tables, write_segment
+
+
+class IndexCatalog:
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+        self._searchers: dict[str, Searcher] = {}
+
+    # ---- S5: create ----
+    def create_index(self, name: str, schema_json: list[dict]) -> dict:
+        root = self._root(name)
+        if os.path.exists(os.path.join(root, MANIFEST_FILE)):
+            raise QueryError.index(f"Index {name} already exists")
+        os.makedirs(os.path.join(root, SEGMENTS_DIR), exist_ok=True)
+        schema = Schema.from_json(schema_json)
+        with open(os.path.join(root, SCHEMA_FILE), "w") as f:
+            f.write(schema.dumps())
+        publish_manifest(root, [])
+        return {"created": name}
+
+    # ---- S6/S9: catalog refresh + list (sorted, deduped — index.rs:51-56) ----
+    def list_indexes(self) -> list[str]:
+        out = set()
+        for entry in os.listdir(self.base_path):
+            if os.path.exists(os.path.join(self.base_path, entry, MANIFEST_FILE)):
+                out.add(entry)
+        return sorted(out)
+
+    # ---- S8: summary ----
+    def index_summary(self, name: str, include_sizes: bool = False) -> dict:
+        root = self._require(name)
+        manifest = load_manifest(root)
+        out = {
+            "summaries": {
+                "num_docs": sum(s["num_docs"] for s in manifest["segments"]),
+                "segments": [s["name"] for s in manifest["segments"]],
+                "version": manifest["version"],
+            }
+        }
+        if include_sizes:
+            sizes = {}
+            for s in manifest["segments"]:
+                d = os.path.join(root, SEGMENTS_DIR, s["name"])
+                sizes[s["name"]] = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(d)
+                    for f in fs
+                )
+            out["summaries"]["segment_sizes"] = sizes
+        return out
+
+    # ---- S7: flush (manifest is always durable; bump the version) ----
+    def flush(self, name: str) -> dict:
+        root = self._require(name)
+        manifest = load_manifest(root)
+        m = publish_manifest(root, manifest["segments"],
+                             extra={k: v for k, v in manifest.items()
+                                    if k not in ("version", "segments")})
+        self._invalidate(name)
+        return {"opstamp": m["version"]}
+
+    # ---- S3: single-doc add (PUT /{idx}) ----
+    def add_document(self, name: str, body: dict) -> dict:
+        doc = body.get("document") if "document" in body else body
+        if not isinstance(doc, dict):
+            # golden: handlers/index.rs:150-169
+            raise QueryError.index("The provided string is not valid JSON")
+        self._append_docs(name, [doc])
+        if body.get("options", {}).get("commit"):
+            self.flush(name)
+        return {"created": True}
+
+    # ---- S1/S2/S4: bulk NDJSON with whole-batch rollback ----
+    def bulk_insert(self, name: str, ndjson: str, max_line_length: int = 10_000) -> dict:
+        root = self._require(name)
+        schema = self._schema(name)
+        docs = []
+        for i, line in enumerate(ndjson.splitlines()):
+            if not line.strip():
+                continue
+            if len(line) > max_line_length:  # settings.rs:41 default
+                raise QueryError.index(f"Line {i} exceeds max_line_length")
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                raise QueryError.index("The provided string is not valid JSON")
+            if not isinstance(doc, dict):
+                raise QueryError.index("The provided string is not valid JSON")
+            self._validate(schema, doc)
+            docs.append(doc)
+        # all lines parsed+validated → publish once (atomic commit = the
+        # rollback guarantee: a bad line above aborted before any publish)
+        self._append_docs(name, docs)
+        return {"docs": len(docs)}
+
+    # ---- T5: delete by term (DELETE /{idx}) ----
+    def delete_term(self, name: str, terms: dict) -> dict:
+        from toshi_ray.pipelines.merge import delete_by_term
+
+        root = self._require(name)
+        total = 0
+        for field, term in terms.items():
+            total += delete_by_term(root, field, str(term))
+        self._invalidate(name)
+        return {"docs_affected": total}
+
+    # ---- search (POST /{idx}) + all_docs (GET /{idx}) ----
+    def search(self, name: str, body: dict | None = None) -> dict:
+        return self._searcher(name).search(body)
+
+    def all_docs(self, name: str) -> dict:
+        return self.search(name, None)
+
+    # ---- internals ----
+    def _root(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def _require(self, name: str) -> str:
+        root = self._root(name)
+        if not os.path.exists(os.path.join(root, MANIFEST_FILE)):
+            raise QueryError.index(f"Unknown Index: '{name}' does not exist")
+        return root
+
+    def _schema(self, name: str) -> Schema:
+        with open(os.path.join(self._root(name), SCHEMA_FILE)) as f:
+            return Schema.loads(f.read())
+
+    def _searcher(self, name: str) -> Searcher:
+        root = self._require(name)
+        if name not in self._searchers:
+            self._searchers[name] = Searcher(root, distributed=False)
+        return self._searchers[name]
+
+    def _invalidate(self, name: str) -> None:
+        self._searchers.pop(name, None)
+
+    def _validate(self, schema: Schema, doc: dict) -> None:
+        for k, v in doc.items():
+            fdef = schema.field(k)
+            if fdef is None:
+                raise QueryError.execution(f"Unknown field: {k}")
+            if fdef.type == "u64":
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    # bulk.rs:174-189: bad u64 fails the whole bulk
+                    raise QueryError.json(f"invalid value: integer `{v}`, expected u64")
+            elif fdef.type == "i64" and (not isinstance(v, int) or isinstance(v, bool)):
+                raise QueryError.json(f"invalid type: {json.dumps(v)}, expected i64")
+
+    def _append_docs(self, name: str, docs: list[dict]) -> None:
+        """Micro-segment append: docs → one new segment + manifest bump."""
+        if not docs:
+            return
+        root = self._require(name)
+        schema = self._schema(name)
+        manifest = load_manifest(root)
+        next_id = 1 + max((s["max_doc_id"] for s in manifest["segments"]), default=-1)
+        rows = {"doc_id": pa.array(
+            np.arange(next_id, next_id + len(docs), dtype=np.uint64))}
+        for f in schema.fields:
+            if f.name == "doc_id":
+                continue
+            vals = [d.get(f.name) for d in docs]
+            if f.type in ("i64",):
+                rows[f.name] = pa.array(vals, type=pa.int64())
+            elif f.type == "u64":
+                rows[f.name] = pa.array(vals, type=pa.uint64())
+            else:
+                rows[f.name] = pa.array(
+                    [str(v) if v is not None else None for v in vals], type=pa.string()
+                )
+        batch = pa.table(rows)
+        postings, dv, store, meta = build_segment_tables(batch, schema)
+        meta = write_segment(os.path.join(root, SEGMENTS_DIR), postings, dv, store, meta)
+        publish_manifest(root, manifest["segments"] + [meta],
+                         extra={k: v for k, v in manifest.items()
+                                if k not in ("version", "segments")})
+        self._invalidate(name)

@@ -37,6 +37,40 @@ def _empty_pairs(metric: str, dtype) -> pd.DataFrame:
     )
 
 
+N_PAIR_PARTS = 64  # coarse shuffle partitions for bucket-pair generation
+
+
+def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str, dtype):
+    """groupby a COARSE partition of the bucket hash (64 groups, not one
+    Ray group per LSH bucket — per-group Python overhead would dominate
+    at millions of buckets), run the per-bucket pair generator inside
+    with a vectorized pandas groupby, then dedupe pairs the same way."""
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pair_fn(sub) for _, sub in g.groupby(bucket_cols, sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty_pairs(metric, dtype)
+
+    pairs = exploded.groupby("part").map_groups(gen, batch_format="pandas")
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(_U)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(_U)
+        return t.append_column(
+            "ppart", pa.array((_mix(a * _U(31) + b) % _U(N_PAIR_PARTS)).astype(np.int64))
+        )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["ppart"])
+        return out if len(out) else _empty_pairs(metric, dtype)
+
+    return (
+        pairs.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+
 def _mix(x: np.ndarray) -> np.ndarray:
     z = np.asarray(x, dtype=_U) + _U(0x9E3779B97F4A7C15)
     z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
@@ -76,21 +110,34 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     collapsed; a 64-bit collision across distinct texts is accepted at
     these scales and would only over-merge one pair).
     """
+    from ray.data.aggregate import Min, Sum
+
     def sig(t: pa.Table) -> pa.Table:
+        """Hash + per-batch partial reduce: one (h, min_id, n) row per
+        distinct hash per batch — the combiner before the shuffle."""
+        h = _hash_strings(t[col].combine_chunks())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, ids = h[order], ids[order]
+        new = np.ones(h.size, dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.nonzero(new)[0]
+        min_ids = np.minimum.reduceat(ids, starts)
+        counts = np.diff(np.concatenate([starts, [h.size]]))
         return pa.table(
-            {id_col: t[id_col], "h": pa.array(_hash_strings(t[col].combine_chunks()))}
+            {
+                "h": pa.array(h[starts]),
+                id_col: pa.array(min_ids),
+                "n": pa.array(counts.astype(np.int64)),
+            }
         )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: [g[id_col].min()], "n_copies": [len(g)]}
-        )
-
-    return (
+    out = (
         ds.map_batches(sig, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(on=id_col, alias_name=id_col), Sum(on="n", alias_name="n_copies"))
     )
+    return out.select_columns([id_col, "n_copies"])
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +238,12 @@ def minhash_lsh_pairs(
         for j in range(1, rows_per_band):
             bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
         ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), bands)
+        bh_flat = bh.reshape(-1)
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bh": pa.array(bh.reshape(-1)),
+                "bh": pa.array(bh_flat),
+                "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
                 id_col: pa.array(ids),
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.repeat(sigs, bands, axis=0).reshape(-1)), num_perm
@@ -215,15 +264,8 @@ def minhash_lsh_pairs(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
         )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # same pair can surface from several bands — dedupe
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, "est_jaccard", float)
 
 
 # ---------------------------------------------------------------------------
@@ -256,10 +298,12 @@ def simhash_near_dup_pairs(ds, col="text", id_col="doc_id", max_hamming: int = 3
         sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(sh)
         parts = [(sh >> _U(16 * i)) & _U(0xFFFF) for i in range(4)]
+        bh_flat = np.concatenate(parts)
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
-                "bh": pa.array(np.concatenate(parts)),
+                "bh": pa.array(bh_flat),
+                "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
                 id_col: pa.array(np.tile(t[id_col].to_numpy(zero_copy_only=False), 4)),
                 "simhash": pa.array(np.tile(sh, 4)),
             }
@@ -279,14 +323,8 @@ def simhash_near_dup_pairs(ds, col="text", id_col="doc_id", max_hamming: int = 3
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    return _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, "hamming", "int64")
 
 
 # ---------------------------------------------------------------------------

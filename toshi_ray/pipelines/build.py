@@ -59,9 +59,11 @@ class SegmentBuilder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"meta": pa.array([], type=pa.string())})
+        c0 = time.process_time()
         postings, dv, store, meta = build_segment_tables(
             batch, self.schema, self.doc_id_col
         )
+        meta["cpu_secs"] = round(time.process_time() - c0, 4)
         meta = write_segment(self.segments_dir, postings, dv, store, meta)
         return pa.table({"meta": [json.dumps(meta)]})
 
@@ -164,6 +166,13 @@ def build_index(
                 "build_secs": round(secs, 3),
                 "num_docs": n_docs,
                 "docs_per_sec": round(n_docs / secs, 1) if secs > 0 else None,
+                # steal-invariant work accounting: Σ per-task process_time.
+                # If cpu_secs/doc is flat across parallelism levels the
+                # pipeline conserves work (no coordination overhead) —
+                # the scaling evidence that survives noisy-neighbor VMs.
+                "cpu_secs": round(
+                    sum(m.get("cpu_secs", 0.0) for m in metas), 3
+                ),
             },
         },
     )

@@ -1,0 +1,104 @@
+"""`ray job submit` entrypoints — build / merge / search as batch jobs.
+
+Usage (north_rule launch path; on a real cluster drop `--local`):
+
+    ray job submit --working-dir . -- \
+        python -m toshi_ray.pipelines.job build \
+            --input /data/pages --index /data/index \
+            --schema schema.json --docs-per-segment 50000
+
+    python -m toshi_ray.pipelines.job merge  --index /data/index
+    python -m toshi_ray.pipelines.job search --index /data/index \
+            --query '{"term": {"text": "spark"}}' --limit 10
+
+The job owns its Ray session (guarded init — inside `ray job submit`
+the cluster connection already exists).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+        if num_cpus:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        ray.init(**kwargs)
+
+
+def cmd_build(args) -> dict:
+    import ray.data
+
+    from toshi_ray.pipelines.build import build_index
+    from toshi_ray.schema import Schema
+
+    with open(args.schema) as f:
+        schema = Schema.loads(f.read())
+    cols = [args.doc_id_col] + [fd.name for fd in schema.fields if fd.name != args.doc_id_col]
+    ds = ray.data.read_parquet(args.input, columns=cols)
+    manifest = build_index(
+        ds,
+        schema,
+        args.index,
+        doc_id_col=args.doc_id_col,
+        docs_per_segment=args.docs_per_segment,
+        lineage=f"job:build input={args.input}",
+    )
+    return {"segments": len(manifest["segments"]), "metrics": manifest["metrics"]}
+
+
+def cmd_merge(args) -> dict:
+    from toshi_ray.pipelines.merge import gc_segments, maybe_merge
+
+    merged = maybe_merge(args.index)
+    gc = gc_segments(args.index) if args.gc else 0
+    return {"merges": len(merged), "gc_removed": gc}
+
+
+def cmd_search(args) -> dict:
+    from toshi_ray.search import Searcher
+
+    s = Searcher(args.index)
+    return s.search({"query": json.loads(args.query), "limit": args.limit})
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="toshi_ray.pipelines.job")
+    p.add_argument("--local-cpus", type=int, default=None,
+                   help="standalone mode: ray.init(address='local', num_cpus=N)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--schema", required=True)
+    b.add_argument("--doc-id-col", default="doc_id")
+    b.add_argument("--docs-per-segment", type=int, default=50_000)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--gc", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=10)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.local_cpus)
+    out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search}[args.cmd](args)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,7 @@ class SegmentGroupScorer:
     def __init__(self, seg_dirs: list[str], schema_json: list):
         self.readers = [SegmentReader(d) for d in seg_dirs]
         self.schema = Schema.from_json(schema_json)
+        self._expand_cache: dict = {}  # (seg, field, query-key) -> [terms]
 
     # ---------------- stats phase ----------------
 
@@ -284,22 +285,26 @@ class SegmentGroupScorer:
             return self._eval_phrase(node, reader, stats)
 
         if isinstance(node, (FuzzyQuery, RegexQuery)):
-            fdef = self._field_or_raise(node.field)
-            dict_tbl = reader.term_dict(node.field)
-            terms = dict_tbl["term"].to_pylist()
-            if isinstance(node, FuzzyQuery):
-                matched = _levenshtein_filter(
-                    sorted(set(terms)), node.value, node.distance, node.transposition
-                )
-            else:
-                try:
-                    pat = re.compile(node.pattern)
-                except re.error:
-                    raise QueryError.execution(f"Invalid regex: {node.pattern}")
-                matched_mask = pc.match_substring_regex(
-                    pa.array(sorted(set(terms))), f"^(?:{node.pattern})$"
-                ).to_numpy(zero_copy_only=False)
-                matched = [t for t, m in zip(sorted(set(terms)), matched_mask) if m]
+            self._field_or_raise(node.field)
+            ck = (reader.dir, node.field, node)
+            matched = self._expand_cache.get(ck)
+            if matched is None:
+                dict_tbl = reader.term_dict(node.field)
+                uniq = sorted(set(dict_tbl["term"].to_pylist()))
+                if isinstance(node, FuzzyQuery):
+                    matched = _levenshtein_filter(
+                        uniq, node.value, node.distance, node.transposition
+                    )
+                else:
+                    try:
+                        re.compile(node.pattern)
+                    except re.error:
+                        raise QueryError.execution(f"Invalid regex: {node.pattern}")
+                    matched_mask = pc.match_substring_regex(
+                        pa.array(uniq, type=pa.string()), f"^(?:{node.pattern})$"
+                    ).to_numpy(zero_copy_only=False)
+                    matched = [t for t, m in zip(uniq, matched_mask) if m]
+                self._expand_cache[ck] = matched
             if not matched:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             parts = [self._postings(reader, node.field, t)[0] for t in matched]

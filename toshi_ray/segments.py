@@ -117,13 +117,13 @@ def build_field_postings(
         )
         return PostingsBatch(table=empty, total_tokens=0), np.zeros(n_docs, np.int64)
 
-    # vocab order from dictionary_encode is first-appearance; remap to sorted
-    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
-    sort_vocab = np.argsort(vocab_np, kind="stable")
+    # vocab order from dictionary_encode is first-appearance; remap to
+    # sorted (arrow C++ sort on the strings, numpy only on the indices)
+    sort_vocab = pa.compute.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
     rank = np.empty_like(sort_vocab)
     rank[sort_vocab] = np.arange(sort_vocab.size)
     term_ids = rank[term_ids]
-    vocab_sorted = vocab_np[sort_vocab]
+    vocab_sorted = vocab.take(pa.array(sort_vocab))
 
     order = np.lexsort((tc.positions, tc.doc_index, term_ids))
     t = term_ids[order]
@@ -150,7 +150,7 @@ def build_field_postings(
     term_starts = np.nonzero(new_term)[0]
     term_offsets = np.concatenate([term_starts, [g_term.size]]).astype(np.int64)
     df = np.diff(term_offsets).astype(np.uint32)
-    terms_present = vocab_sorted[g_term[term_starts]]
+    terms_present = vocab_sorted.take(pa.array(g_term[term_starts]))
 
     # encode doc ids (delta within term) and tfs in single segmented passes
     gaps = codecs.segmented_delta(doc_ids_flat, term_offsets)
@@ -189,7 +189,7 @@ def build_field_postings(
     table = pa.table(
         {
             "field": pa.array([field_name] * df.size, type=pa.string()),
-            "term": pa.array(terms_present, type=pa.string()),
+            "term": terms_present.cast(pa.string()),
             "shard": pa.array(np.full(df.size, shard, np.int32)),
             "df": pa.array(df),
             "first_doc": pa.array(doc_ids_flat[term_offsets[:-1]]),
@@ -310,12 +310,19 @@ class SegmentReader:
     (the scorer-actor state, SURVEY.md §7.2).
     """
 
-    def __init__(self, seg_dir: str):
+    def __init__(self, seg_dir: str, cache_postings: bool = True):
+        """``cache_postings`` keeps the segment's postings table + a
+        sorted (field, term) index in the reader after first touch —
+        the scorer-actor state (SURVEY.md §7.2). For segments larger
+        than a worker's heap set it False to fall back to parquet
+        predicate pushdown per query."""
         self.dir = seg_dir
         with open(os.path.join(seg_dir, META_FILE)) as f:
             self.meta = json.load(f)
+        self.cache_postings = cache_postings
         self._docvalues: pa.Table | None = None
         self._postings_all: pa.Table | None = None
+        self._term_index: dict | None = None  # field -> (sorted terms np, row idx np)
 
     def _path(self, fname: str) -> str:
         """A segment part is a single file (fresh build) or a directory
@@ -340,7 +347,33 @@ class SegmentReader:
     def doc_ids(self) -> np.ndarray:
         return self.docvalues()["doc_id"].to_numpy(zero_copy_only=False)
 
+    def _ensure_term_index(self) -> None:
+        if self._term_index is not None:
+            return
+        t = self.all_postings()
+        self._term_index = {}
+        fields = t["field"].to_numpy(zero_copy_only=False)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        for f in np.unique(fields):
+            rows = np.nonzero(fields == f)[0]
+            ft = terms[rows]
+            order = np.argsort(ft, kind="stable")  # shard rows keep order (stable)
+            self._term_index[f] = (ft[order], rows[order])
+
     def postings_for_terms(self, field: str, terms: list[str]) -> pa.Table:
+        if self.cache_postings:
+            self._ensure_term_index()
+            idx = self._term_index.get(field)
+            if idx is None:
+                return self.all_postings().slice(0, 0)
+            sorted_terms, rows = idx
+            want = np.asarray(sorted(terms), dtype=object)
+            lo = np.searchsorted(sorted_terms, want, side="left")
+            hi = np.searchsorted(sorted_terms, want, side="right")
+            take = np.concatenate(
+                [rows[a:b] for a, b in zip(lo, hi)] or [np.empty(0, np.int64)]
+            )
+            return self.all_postings().take(pa.array(np.sort(take)))
         import pyarrow.dataset as pads
 
         expr = (pads.field("field") == field) & pads.field("term").isin(terms)
@@ -348,7 +381,7 @@ class SegmentReader:
 
     def all_postings(self, field: str | None = None) -> pa.Table:
         if self._postings_all is None:
-            self._postings_all = pq.read_table(self._path(POSTINGS_FILE))
+            self._postings_all = pq.read_table(self._path(POSTINGS_FILE)).combine_chunks()
         t = self._postings_all
         if field is not None:
             t = t.filter(pa.compute.equal(t["field"], field))
@@ -356,6 +389,8 @@ class SegmentReader:
 
     def term_dict(self, field: str) -> pa.Table:
         """(term, df, max_tf) for automaton queries (fuzzy/regex)."""
+        if self.cache_postings:
+            return self.all_postings(field).select(["field", "term", "df", "max_tf"])
         t = pq.read_table(
             self._path(POSTINGS_FILE),
             columns=["field", "term", "df", "max_tf"],

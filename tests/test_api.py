@@ -100,3 +100,53 @@ def test_unknown_index():
     c = IndexCatalog(tempfile.mkdtemp())
     with pytest.raises(QueryError):
         c.search("nope", None)
+
+
+F4_LYRICS_SCHEMA = [  # FIXTURES.md §F4 — the reference's documented example schema
+    {"name": "lyrics", "type": "text",
+     "options": {"indexing": {"record": "position", "tokenizer": "default"}, "stored": True}},
+    {"name": "year", "type": "i64", "options": {"indexed": True, "stored": True, "fast": True}},
+    {"name": "idx", "type": "u64", "options": {"indexed": True, "stored": True, "fast": True}},
+    {"name": "artist", "type": "text",
+     "options": {"indexing": {"record": "position", "tokenizer": "default"}, "stored": True}},
+    {"name": "genre", "type": "text",
+     "options": {"indexing": {"record": "position", "tokenizer": "default"}, "stored": True}},
+    {"name": "song", "type": "text",
+     "options": {"indexing": {"record": "position", "tokenizer": "default"}, "stored": True}},
+]
+
+
+def test_lyrics_lifecycle(ray_session):  # _create → _summary → add → search
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_lyrics_"))
+    c.create_index("lyrics", F4_LYRICS_SCHEMA)
+    # search on an EMPTY index returns cleanly
+    assert c.search("lyrics", {"query": {"term": {"lyrics": "here"}}})["hits"] == 0
+    c.add_document("lyrics", {"options": {"commit": True}, "document": {
+        "song": "he-still-loves-me-f-choir-from-fighting-temptations",
+        "year": 2007, "artist": "beyonce-knowles", "genre": "Pop",
+        "lyrics": "Took me a while but I'm finally here", "idx": 23}})
+    assert c.index_summary("lyrics")["summaries"]["num_docs"] == 1
+    r = c.search("lyrics", {"query": {"phrase": {"lyrics": {"terms": ["finally", "here"]}}}})
+    assert r["hits"] == 1 and r["docs"][0]["doc"]["genre"] == "Pop"
+    # multi-text-field raw query over all default fields
+    r = c.search("lyrics", {"query": {"raw": "artist:beyonce"}})
+    assert r["hits"] == 1
+    # range over the i64 fast field
+    r = c.search("lyrics", {"query": {"range": {"year": {"gte": 2007, "lte": 2007}}}})
+    assert r["hits"] == 1
+
+
+def test_cjk_analyzer_index(ray_session):
+    from toshi_ray.analyzer import get_analyzer
+
+    assert get_analyzer("cjk").tokens("Hello 世界和平") == ["hello", "世", "界", "和", "平"]
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_cjk_"))
+    c.create_index("zh", [
+        {"name": "body", "type": "text",
+         "options": {"indexing": {"record": "position", "tokenizer": "cjk"}, "stored": True}},
+    ])
+    c.add_document("zh", {"document": {"body": "世界和平 peace"}})
+    c.add_document("zh", {"document": {"body": "世上无难事"}})
+    assert c.search("zh", {"query": {"term": {"body": "界"}}})["hits"] == 1
+    assert c.search("zh", {"query": {"term": {"body": "世"}}})["hits"] == 2
+    assert c.search("zh", {"query": {"phrase": {"body": {"terms": ["世", "界"]}}}})["hits"] == 1

@@ -116,9 +116,39 @@ class RawAnalyzer:
         return [text]
 
 
+class CjkAnalyzer:
+    """CJK-friendly analyzer: each Han character becomes its own token
+    (unigram segmentation, Lucene StandardAnalyzer behavior); other
+    alphanumeric runs tokenize like "default".
+
+    The reference registers a pluggable Chinese tokenizer (CangJie)
+    behind a cargo feature (`toshi-server/src/lib.rs:57-72`); this
+    exercises the same extension surface with a public algorithm.
+    """
+
+    name = "cjk"
+    _HAN = r"[\p{Han}]"
+
+    def tokenize_column(self, col):
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # isolate each Han char with spaces, then run the default chain
+        spaced = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=f"({self._HAN})", replacement=" \\1 "
+        )
+        return DefaultAnalyzer().tokenize_column(spaced)
+
+    def tokens(self, text: str) -> list[str]:
+        tc = self.tokenize_column(pa.array([text], type=pa.string()))
+        return tc.terms.to_pylist()
+
+
 _REGISTRY = {
     "default": DefaultAnalyzer,
     "raw": RawAnalyzer,
+    "cjk": CjkAnalyzer,
 }
 
 

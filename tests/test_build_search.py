@@ -139,3 +139,45 @@ def test_build_is_resumable(ray_session):
                      docs_per_segment=100)
     assert m2["version"] == m1["version"]
     assert [s["name"] for s in m2["segments"]] == [s["name"] for s in m1["segments"]]
+
+
+def test_blockmax_prunes_and_stays_exact(ray_session):
+    """Skewed-tf corpus: the block-max path must skip decoding most
+    blocks for a small k yet return exactly the exhaustive top-k."""
+    import pyarrow as pa
+    import ray
+
+    from toshi_ray.search import SegmentGroupScorer, TermQuery
+
+    n = 4000
+    # tf of "hot" rises with doc_id but block-max varies: put high-tf docs
+    # in a few blocks so most blocks have low upper bounds
+    texts = []
+    for i in range(n):
+        tf = 40 if (i // 128) % 10 == 0 else 1
+        texts.append(" ".join(["hot"] * tf + ["w%04d" % (i % 97)] * 3))
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.uint64()), "text": texts})
+    root = tempfile.mkdtemp(prefix="toshi_bmw_")
+    build_index(ray.data.from_arrow(tbl), Schema.build(
+        FieldDef("doc_id", "u64", fast=True), FieldDef("text", "text")), root,
+        docs_per_segment=n)
+
+    s = Searcher(root, distributed=False)
+    s._ensure_groups()
+    scorer: SegmentGroupScorer = s._groups[0][1]
+    plan = s._plan({"query": {"term": {"text": "hot"}}}).query
+    stats = s._stats_for(plan)
+
+    exhaustive_ids, exhaustive_scores = scorer._eval(plan, scorer.readers[0], stats)
+    order = np.lexsort((exhaustive_ids, -exhaustive_scores))[:10]
+    want = list(zip(exhaustive_ids[order].tolist(),
+                    np.round(exhaustive_scores[order], 12).tolist()))
+
+    ids, scores = scorer._topk_term_blockmax(plan, scorer.readers[0], stats, 10)
+    got = list(zip(ids.tolist(), np.round(scores, 12).tolist()))
+    assert got == want
+    pc = scorer.perf_counters()
+    assert pc["blocks_decoded"] < pc["blocks_total"], pc  # pruning happened
+    # and the public search path returns the same
+    r = s.search({"query": {"term": {"text": "hot"}}, "limit": 10})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [g[0] for g in got]

@@ -92,6 +92,47 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(g, dtype=_U64)
 
 
+def segmented_delta_decode(gaps: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta: each [offsets[i], offsets[i+1]) run
+    restarts with an absolute value."""
+    g = np.asarray(gaps, dtype=_U64)
+    if g.size == 0:
+        return g
+    offs = np.asarray(offsets, dtype=np.int64)
+    cs = np.cumsum(g, dtype=_U64)
+    starts = offs[:-1]
+    lens = np.diff(offs)
+    nz = lens > 0
+    base = cs[starts[nz]] - g[starts[nz]]
+    return cs - np.repeat(base, lens[nz])
+
+
+def block_offsets_for(count: int) -> np.ndarray:
+    """Value offsets of 128-value blocks for one list of ``count`` values
+    (len = n_blocks + 1)."""
+    n_blocks = max(1, (count + BLOCK - 1) // BLOCK)
+    offs = np.minimum(np.arange(n_blocks + 1, dtype=np.int64) * BLOCK, count)
+    return offs
+
+
+def encode_doc_ids_blocked(doc_ids: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Delta+varint with an ABSOLUTE restart at every 128-doc block so
+    blocks decode independently (the WAND skip unit).
+
+    Returns (payload, per-block byte offsets incl. end, per-block last doc)."""
+    v = np.asarray(doc_ids, dtype=_U64)
+    offs = block_offsets_for(v.size)
+    gaps = segmented_delta(v, offs)
+    payload, boffs = segmented_varint_encode(gaps, offs)
+    last = v[np.maximum(offs[1:] - 1, 0)] if v.size else np.empty(0, _U64)
+    return payload, boffs, last
+
+
+def decode_doc_ids_blocked(buf: bytes, count: int) -> np.ndarray:
+    gaps = varint_decode(buf)
+    return segmented_delta_decode(gaps, block_offsets_for(count))
+
+
 def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     """delta + varint for a sorted doc-id run."""
     return varint_encode(delta_encode(doc_ids))

@@ -43,6 +43,10 @@ MANIFEST_FILE = "manifest.json"
 SCHEMA_FILE = "schema.json"
 SEGMENTS_DIR = "segments"
 
+# bump when the segment layout changes incompatibly (readers check this;
+# v2 = block-restart doc-id encoding + per-block skip offset tables)
+FORMAT_VERSION = 2
+
 
 class SegmentBuilder:
     """Stateful map_batches stage: one call = one batch = one segment.
@@ -84,6 +88,7 @@ def publish_manifest(index_root: str, segments: list[dict], extra: dict | None =
             prev_version = json.load(f).get("version", 0)
     manifest = {
         "version": prev_version + 1,
+        "format": FORMAT_VERSION,
         "segments": sorted(segments, key=lambda s: s["min_doc_id"]),
         **(extra or {}),
     }
@@ -119,7 +124,14 @@ def build_index(
     os.makedirs(os.path.join(index_root, SEGMENTS_DIR), exist_ok=True)
     existing = load_manifest(index_root)
     if existing is not None and not overwrite:
-        return existing
+        if existing.get("format") == FORMAT_VERSION:
+            return existing
+        # stale on-disk format → rebuild from scratch
+        import shutil
+
+        shutil.rmtree(os.path.join(index_root, SEGMENTS_DIR), ignore_errors=True)
+        os.makedirs(os.path.join(index_root, SEGMENTS_DIR), exist_ok=True)
+        os.remove(os.path.join(index_root, MANIFEST_FILE))
 
     _atomic_write(os.path.join(index_root, SCHEMA_FILE), schema.dumps())
 

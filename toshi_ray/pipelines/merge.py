@@ -86,8 +86,32 @@ _MERGED_SCHEMA = pa.schema(
         ("positions", pa.large_binary()),
         ("block_max_tf", pa.large_binary()),
         ("block_min_norm", pa.large_binary()),
+        ("block_doc_offsets", pa.large_binary()),
+        ("block_tf_offsets", pa.large_binary()),
+        ("block_last_doc", pa.large_binary()),
     ]
 )
+
+
+def _block_meta(doc_ids, tfs):
+    """Recompute the per-block skip columns for one merged posting run."""
+    enc, boffs, last = codecs.encode_doc_ids_blocked(doc_ids)
+    lens = codecs.varint_byte_lengths(tfs)
+    cum = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    tf_offs = cum[codecs.block_offsets_for(doc_ids.size)]
+    bstarts = codecs.block_offsets_for(doc_ids.size)[:-1]
+    blk_max = (
+        np.maximum.reduceat(tfs, bstarts) if doc_ids.size else np.empty(0, np.uint64)
+    )
+    return {
+        "doc_ids": enc,
+        "block_doc_offsets": boffs.astype(np.int32).tobytes(),
+        "block_tf_offsets": tf_offs.astype(np.int32).tobytes(),
+        "block_last_doc": last.astype(np.uint64).tobytes(),
+        "block_max_tf": codecs.varint_encode(blk_max),
+        "n_blocks": len(bstarts),
+    }
 
 
 def _merge_group(g: pa.Table) -> pa.Table:
@@ -100,17 +124,15 @@ def _merge_group(g: pa.Table) -> pa.Table:
         return out.select(_MERGED_SCHEMA.names).cast(_MERGED_SCHEMA)
     g = g.sort_by("first_doc")
     rows = g.to_pylist()
-    doc_ids = np.concatenate([codecs.decode_doc_ids(r["doc_ids"]) for r in rows])
+    doc_ids = np.concatenate([codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows])
     tf_payload = b"".join(r["tfs"] for r in rows)
     tfs = codecs.varint_decode(tf_payload)
     # positions streams restart absolutely at every doc → concat is valid
     has_pos = all(r["positions"] is not None for r in rows)
     pos_payload = b"".join(r["positions"] for r in rows) if has_pos else None
 
-    # re-encode doc ids as one delta+varint run; recompute block metadata
-    enc = codecs.encode_doc_ids(doc_ids)
-    bstarts = np.arange(0, doc_ids.size, codecs.BLOCK, dtype=np.int64)
-    blk_max = np.maximum.reduceat(tfs, bstarts) if doc_ids.size else np.empty(0, np.uint64)
+    # re-encode doc ids with block restarts; recompute all skip metadata
+    bm = _block_meta(doc_ids, tfs)
     # conservative per-term min norm across sources, replicated per block
     src_min = min(min(r["block_min_norm"]) for r in rows)
     return pa.table(
@@ -122,11 +144,14 @@ def _merge_group(g: pa.Table) -> pa.Table:
             "first_doc": [int(doc_ids[0])],
             "total_tf": [sum(r["total_tf"] for r in rows)],
             "max_tf": [max(r["max_tf"] for r in rows)],
-            "doc_ids": [enc],
+            "doc_ids": [bm["doc_ids"]],
             "tfs": [tf_payload],
             "positions": [pos_payload],
-            "block_max_tf": [codecs.varint_encode(blk_max)],
-            "block_min_norm": [bytes([src_min]) * len(bstarts)],
+            "block_max_tf": [bm["block_max_tf"]],
+            "block_min_norm": [bytes([src_min]) * bm["n_blocks"]],
+            "block_doc_offsets": [bm["block_doc_offsets"]],
+            "block_tf_offsets": [bm["block_tf_offsets"]],
+            "block_last_doc": [bm["block_last_doc"]],
         },
         schema=_MERGED_SCHEMA,
     )
@@ -137,7 +162,7 @@ def apply_tombstones_to_postings(batch: pa.Table, tombs: np.ndarray) -> pa.Table
     rows = batch.to_pylist()
     out = []
     for row in rows:
-        doc_ids = codecs.decode_doc_ids(row["doc_ids"])
+        doc_ids = codecs.decode_doc_ids_blocked(row["doc_ids"], int(row["df"]))
         tfs = codecs.varint_decode(row["tfs"])
         keep = ~np.isin(doc_ids, tombs, assume_unique=True)
         if keep.all():
@@ -156,15 +181,18 @@ def apply_tombstones_to_postings(batch: pa.Table, tombs: np.ndarray) -> pa.Table
             kept_gaps = take_ranges(gaps, offs[kidx], (offs[kidx + 1] - offs[kidx]))
             new["positions"] = codecs.varint_encode(kept_gaps)
         doc_ids2, tfs2 = doc_ids[keep], tfs[keep]
-        new["doc_ids"] = codecs.encode_doc_ids(doc_ids2)
+        bm = _block_meta(doc_ids2, tfs2)
+        new["doc_ids"] = bm["doc_ids"]
         new["tfs"] = codecs.varint_encode(tfs2)
         new["df"] = int(keep.sum())
         new["first_doc"] = int(doc_ids2[0])
         new["total_tf"] = int(tfs2.sum())
         new["max_tf"] = int(tfs2.max())
-        bstarts = np.arange(0, doc_ids2.size, codecs.BLOCK, dtype=np.int64)
-        new["block_max_tf"] = codecs.varint_encode(np.maximum.reduceat(tfs2, bstarts))
-        new["block_min_norm"] = bytes([min(row["block_min_norm"])]) * len(bstarts)
+        new["block_max_tf"] = bm["block_max_tf"]
+        new["block_min_norm"] = bytes([min(row["block_min_norm"])]) * bm["n_blocks"]
+        new["block_doc_offsets"] = bm["block_doc_offsets"]
+        new["block_tf_offsets"] = bm["block_tf_offsets"]
+        new["block_last_doc"] = bm["block_last_doc"]
         out.append(new)
     if not out:
         return batch.slice(0, 0)

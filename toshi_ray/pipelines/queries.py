@@ -157,6 +157,17 @@ def q_raw_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
+    s = searcher_for(sf_dir)
+    r = s.search({"query": {"phrase": {"text": {"terms": ["group", "sort"]}}}, "limit": 50})
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
 def q_term_matches(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     return _ids_frame(s.match_doc_ids({"query": {"term": {"text": "window"}}}))
@@ -349,6 +360,43 @@ def oracle_sql_map() -> dict[str, str]:
     sql["term_topk"] = bm25_topk_sql("spark", 50)
     sql["raw_topk"] = bm25_topk_sql("spark", 50)
 
+    # full BM25 phrase scoring: phrase frequency via positional self-join,
+    # weight = Σ idf of the phrase terms (tantivy Bm25Weight::for_terms)
+    sql["phrase_topk"] = f"""
+WITH {TOKENS_CTE},
+{_norm_values_sql()},
+pos AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS i FROM toks),
+ptf AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok = 'group' AND b.tok = 'sort'
+  GROUP BY a.doc_id
+),
+base AS (SELECT doc_id, len(tk) AS dl_raw,
+                list_contains(tk, 'group') AS f1, list_contains(tk, 'sort') AS f2
+         FROM toks),
+quant AS (
+  SELECT b.doc_id, b.dl_raw,
+         (SELECT max(val) FROM norm_table v WHERE v.val <= b.dl_raw) AS dl
+  FROM base b
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl_raw) AS total,
+         count(*) FILTER (f1) AS df1,
+         count(*) FILTER (f2) AS df2
+  FROM base
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(floor((ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                   + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))) * 2.2 * p.tf
+             / (p.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) * 10000.0) AS BIGINT) AS score_x1e4
+FROM ptf p JOIN quant q USING (doc_id), stats s
+ORDER BY (ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+          + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))) * 2.2 * p.tf
+         / (p.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) DESC, p.doc_id
+LIMIT 50
+"""
+
     sql["term_matches"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
@@ -472,6 +520,7 @@ QUERIES = {
     "term_topk": q_term_topk,
     "raw_topk": q_raw_topk,
     "term_matches": q_term_matches,
+    "phrase_topk": q_phrase_topk,
     "phrase_matches": q_phrase_matches,
     "bool_matches": q_bool_matches,
     "range_matches": q_range_matches,

@@ -139,6 +139,11 @@ class SegmentGroupScorer:
         self.readers = [SegmentReader(d) for d in seg_dirs]
         self.schema = Schema.from_json(schema_json)
         self._expand_cache: dict = {}  # (seg, field, query-key) -> [terms]
+        self.blocks_decoded = 0  # block-max path instrumentation
+        self.blocks_total = 0
+
+    def perf_counters(self) -> dict:
+        return {"blocks_decoded": self.blocks_decoded, "blocks_total": self.blocks_total}
 
     # ---------------- stats phase ----------------
 
@@ -168,8 +173,21 @@ class SegmentGroupScorer:
         (rows [(doc_id, score, seg_idx_local)], facet_counts dict)."""
         top_rows: list[tuple[int, float, int]] = []
         facet_counts: dict[str, int] = {}
+        # block-max WAND fast path: single text-term relevance query with
+        # no facet/sort side-outputs → skip low-upper-bound blocks
+        use_blockmax = (
+            sort_by is None
+            and not facets
+            and isinstance(plan, TermQuery)
+            and (fd := self.schema.field(plan.field)) is not None
+            and fd.is_text
+            and fd.indexed
+        )
         for si, reader in enumerate(self.readers):
-            doc_ids, scores = self._eval(plan, reader, stats)
+            if use_blockmax:
+                doc_ids, scores = self._topk_term_blockmax(plan, reader, stats, k)
+            else:
+                doc_ids, scores = self._eval(plan, reader, stats)
             if stats.tombstones is not None and stats.tombstones.size and doc_ids.size:
                 keep = ~np.isin(doc_ids, stats.tombstones)
                 doc_ids, scores = doc_ids[keep], scores[keep]
@@ -245,9 +263,70 @@ class SegmentGroupScorer:
         if tbl.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64), []
         rows = tbl.to_pylist()
-        parts = [codecs.decode_doc_ids(r["doc_ids"]) for r in rows]
+        parts = [codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows]
         tf_parts = [codecs.varint_decode(r["tfs"]) for r in rows]
         return np.concatenate(parts), np.concatenate(tf_parts), rows
+
+    def _topk_term_blockmax(self, node: TermQuery, reader: SegmentReader, stats: Stats, k: int):
+        """Block-max WAND for a single-term query: process 128-doc blocks
+        in descending upper-bound order and stop once the next block's
+        bound is below the running k-th score θ — skipped blocks are
+        never even DECODED (their byte ranges carry the bound in
+        `block_max_tf`/`block_min_norm`, offsets in `block_doc_offsets`).
+        Returns the segment-local top-k only (exact, tie-break-safe:
+        skipping requires bound < θ strictly, so equal-score lower-doc
+        candidates are always examined)."""
+        field = node.field
+        w = stats.idf.get((field, node.value), 0.0)
+        tbl = reader.postings_for_terms(field, [node.value])
+        if tbl.num_rows == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        rows = tbl.to_pylist()
+        avgdl = max(stats.avgdl.get(field, 0.0), 1e-9)
+
+        blocks = []  # (upper_bound, row idx, block idx)
+        for ri, r in enumerate(rows):
+            bmax = codecs.varint_decode(r["block_max_tf"]).astype(np.float64)
+            dlmin = id_to_fieldnorm(np.frombuffer(r["block_min_norm"], np.uint8)).astype(
+                np.float64
+            )
+            ub = w * (K1 + 1.0) * bmax / (bmax + K1 * (1.0 - B + B * dlmin / avgdl))
+            blocks.extend((float(ub[b]), ri, b) for b in range(ub.size))
+        blocks.sort(key=lambda x: -x[0])
+        self.blocks_total += len(blocks)
+
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        n_cand = 0
+        theta = -np.inf
+        for ub, ri, b in blocks:
+            if n_cand >= k and ub < theta:
+                break
+            r = rows[ri]
+            dof = np.frombuffer(r["block_doc_offsets"], np.int32)
+            tfo = np.frombuffer(r["block_tf_offsets"], np.int32)
+            gaps = codecs.varint_decode(r["doc_ids"][dof[b] : dof[b + 1]])
+            ids = np.cumsum(gaps, dtype=np.uint64)  # block restarts absolutely
+            tfs = codecs.varint_decode(r["tfs"][tfo[b] : tfo[b + 1]])
+            self.blocks_decoded += 1
+            if stats.tombstones is not None and stats.tombstones.size:
+                keep = ~np.isin(ids, stats.tombstones)
+                ids, tfs = ids[keep], tfs[keep]
+            if ids.size == 0:
+                continue
+            scores = self._bm25(reader, field, ids, tfs, w, stats)
+            cand_ids.append(ids)
+            cand_scores.append(scores)
+            n_cand += ids.size
+            if n_cand >= k:
+                allsc = np.concatenate(cand_scores)
+                theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+        if not cand_ids:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        order = np.lexsort((ids, -scores))[:k]
+        return ids[order], scores[order]
 
     def _bm25(self, reader, field, doc_ids, tfs, weight_idf, stats: Stats) -> np.ndarray:
         dl = self._norm_lookup(reader, field, doc_ids).astype(np.float64)
@@ -361,7 +440,9 @@ class SegmentGroupScorer:
             if tbl.num_rows == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             rows = tbl.to_pylist()
-            ids = np.concatenate([codecs.decode_doc_ids(r["doc_ids"]) for r in rows])
+            ids = np.concatenate(
+                [codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows]
+            )
             tfs = np.concatenate([codecs.varint_decode(r["tfs"]) for r in rows])
             pos_parts, off_parts = [], []
             for r in rows:
@@ -500,8 +581,15 @@ class Searcher:
     # ------------- lifecycle -------------
 
     def refresh(self) -> None:
+        from toshi_ray.pipelines.build import FORMAT_VERSION
+
         with open(os.path.join(self.index_root, MANIFEST_FILE)) as f:
             self.manifest = json.load(f)
+        fmt = self.manifest.get("format")
+        if fmt != FORMAT_VERSION:
+            raise QueryError.index(
+                f"Index format {fmt} != reader format {FORMAT_VERSION}; rebuild the index"
+            )
         with open(os.path.join(self.index_root, SCHEMA_FILE)) as f:
             self.schema = Schema.from_json(json.load(f))
         self.segments = self.manifest["segments"]

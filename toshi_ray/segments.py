@@ -58,8 +58,12 @@ POSTINGS_SCHEMA_FIXED = [
     ("doc_ids", pa.large_binary()),
     ("tfs", pa.large_binary()),
     ("positions", pa.large_binary()),
-    ("block_max_tf", pa.large_binary()),
-    ("block_min_norm", pa.large_binary()),
+    # WAND skip metadata, one entry per 128-doc block:
+    ("block_max_tf", pa.large_binary()),      # varint max tf per block
+    ("block_min_norm", pa.large_binary()),    # u8 min fieldnorm code per block
+    ("block_doc_offsets", pa.large_binary()), # i32 LE byte offsets into doc_ids (n+1)
+    ("block_tf_offsets", pa.large_binary()),  # i32 LE byte offsets into tfs (n+1)
+    ("block_last_doc", pa.large_binary()),    # u64 LE last doc_id per block
 ]
 
 
@@ -152,20 +156,29 @@ def build_field_postings(
     df = np.diff(term_offsets).astype(np.uint32)
     terms_present = vocab_sorted.take(pa.array(g_term[term_starts]))
 
-    # encode doc ids (delta within term) and tfs in single segmented passes
-    gaps = codecs.segmented_delta(doc_ids_flat, term_offsets)
-    doc_payload, doc_boffs = codecs.segmented_varint_encode(gaps, term_offsets)
-    tf_payload, tf_boffs = codecs.segmented_varint_encode(tfs_flat, term_offsets)
+    # block boundaries in (term,doc)-group value space; the first block
+    # of each term starts at the term's offset, so block bounds are a
+    # superset of term bounds — ONE segmented encode covers both, and
+    # every block restarts with an absolute doc id (independent decode
+    # = the WAND skip unit)
+    bstarts, n_blocks = _block_starts(term_offsets)
+    block_bounds = np.concatenate([bstarts, [np.int64(g_term.size)]]).astype(np.int64)
+    gaps = codecs.segmented_delta(doc_ids_flat, block_bounds)
+    doc_payload, blk_byte_offs = codecs.segmented_varint_encode(gaps, block_bounds)
+    tf_payload, tf_blk_byte_offs = codecs.segmented_varint_encode(tfs_flat, block_bounds)
+
+    # per-term first-block indices into the flat block arrays
+    blk_boffs_list = np.zeros(term_offsets.size, dtype=np.int64)
+    np.cumsum(n_blocks, out=blk_boffs_list[1:])
+    doc_boffs = blk_byte_offs[blk_boffs_list]  # per-term byte offsets
+    tf_boffs = tf_blk_byte_offs[blk_boffs_list]
 
     # per-term aggregates
     total_tf = np.add.reduceat(tfs_flat, term_offsets[:-1]).astype(np.uint64)
     max_tf = np.maximum.reduceat(tfs_flat, term_offsets[:-1]).astype(np.uint32)
 
     # block-max metadata (128-doc blocks within each term's posting list)
-    bstarts, n_blocks = _block_starts(term_offsets)
     blk_max_tf = np.maximum.reduceat(tfs_flat, bstarts).astype(np.uint64)
-    blk_boffs_list = np.zeros(term_offsets.size, dtype=np.int64)
-    np.cumsum(n_blocks, out=blk_boffs_list[1:])
     bm_payload, bm_boffs = codecs.segmented_varint_encode(blk_max_tf, blk_boffs_list)
 
     # block min fieldnorm code per block (needs norms per posting doc)
@@ -174,6 +187,24 @@ def build_field_postings(
     blk_min_norm = np.minimum.reduceat(posting_norms, bstarts).astype(np.uint8)
     bn_payload = blk_min_norm.tobytes()
     bn_boffs = blk_boffs_list  # one byte per block
+
+    # per-term block byte-offset tables (n_blocks+1 i32 entries, relative
+    # to the term's blob start) + per-block last doc id (u64)
+    n_entries = n_blocks + 1
+    ent_base = np.zeros(term_offsets.size, dtype=np.int64)
+    np.cumsum(n_entries, out=ent_base[1:])
+    gather = np.repeat(blk_boffs_list[:-1], n_entries) + (
+        np.arange(int(n_entries.sum()), dtype=np.int64) - np.repeat(ent_base[:-1], n_entries)
+    )
+    rel_doc = blk_byte_offs[gather] - np.repeat(blk_byte_offs[blk_boffs_list[:-1]], n_entries)
+    rel_tf = tf_blk_byte_offs[gather] - np.repeat(tf_blk_byte_offs[blk_boffs_list[:-1]], n_entries)
+    bdo_payload = rel_doc.astype(np.int32).tobytes()
+    bto_payload = rel_tf.astype(np.int32).tobytes()
+    bdo_boffs = ent_base * 4
+    block_ends = block_bounds[1:]
+    blk_last = doc_ids_flat[np.maximum(block_ends - 1, 0)]
+    bld_payload = blk_last.astype(np.uint64).tobytes()
+    bld_boffs = blk_boffs_list * 8
 
     if record_positions:
         # positions delta-encoded within each (term,doc) group
@@ -200,6 +231,9 @@ def build_field_postings(
             "positions": pos_arr,
             "block_max_tf": _binary_from_offsets(bm_payload, bm_boffs),
             "block_min_norm": _binary_from_offsets(bn_payload, bn_boffs),
+            "block_doc_offsets": _binary_from_offsets(bdo_payload, bdo_boffs),
+            "block_tf_offsets": _binary_from_offsets(bto_payload, bdo_boffs.copy()),
+            "block_last_doc": _binary_from_offsets(bld_payload, bld_boffs),
         }
     )
     return PostingsBatch(table=table, total_tokens=int(tc.norms.sum())), tc.norms
@@ -407,7 +441,7 @@ class SegmentReader:
 
 def decode_posting_row(row: dict) -> tuple[np.ndarray, np.ndarray]:
     """(doc_ids, tfs) from one postings row (dict of scalars)."""
-    doc_ids = codecs.decode_doc_ids(row["doc_ids"])
+    doc_ids = codecs.decode_doc_ids_blocked(row["doc_ids"], int(row["df"]))
     tfs = codecs.varint_decode(row["tfs"])
     return doc_ids, tfs
 

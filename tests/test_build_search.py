@@ -181,3 +181,39 @@ def test_blockmax_prunes_and_stays_exact(ray_session):
     # and the public search path returns the same
     r = s.search({"query": {"term": {"text": "hot"}}, "limit": 10})
     assert [d["doc"]["doc_id"] for d in r["docs"]] == [g[0] for g in got]
+
+
+def test_conjunction_skip_exact_and_prunes(ray_session):
+    """must-AND of a rare and a hot term: skip-pointer path must decode
+    only the hot term's blocks that overlap the rare term's docs, and
+    match the generic evaluator exactly."""
+    import ray
+
+    root = tempfile.mkdtemp(prefix="toshi_and_")
+    build_index(pages_dataset(3000, parallelism=2), page_schema(), root,
+                docs_per_segment=3000)
+    s = Searcher(root, distributed=False)
+    s._ensure_groups()
+    scorer = s._groups[0][1]
+    q = {"bool": {"must": [{"term": {"text": "w01000"}}, {"term": {"text": "the"}}]}}
+    plan = s._plan({"query": q}).query
+    stats = s._stats_for(plan)
+    reader = scorer.readers[0]
+
+    # expected result: per-term exhaustive evals intersected by hand
+    a = scorer._eval(plan.must[0], reader, stats)
+    b = scorer._eval(plan.must[1], reader, stats)
+    common, ia, ib = np.intersect1d(a[0], b[0], assume_unique=True, return_indices=True)
+    want_ids, want_scores = common, a[1][ia] + b[1][ib]
+
+    before = scorer.perf_counters()["blocks_decoded"]
+    got_ids, got_scores = scorer._eval(plan, reader, stats)
+    decoded = scorer.perf_counters()["blocks_decoded"] - before
+    assert got_ids.tolist() == want_ids.tolist()
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-12)
+    # hot term 'the' has ~3000/128 ≈ 24 blocks; must not decode them all
+    assert 0 < decoded < 24, decoded
+    # and through the public search API
+    r = s.search({"query": q, "limit": 5})
+    order = np.lexsort((want_ids, -want_scores))[:5]
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == want_ids[order].tolist()

@@ -491,7 +491,78 @@ class SegmentGroupScorer:
         scores = self._bm25(reader, node.field, doc_ids, ptf[hit], sum_idf, stats)
         return doc_ids, scores
 
+    def _postings_restricted(
+        self, reader: SegmentReader, field: str, term: str, cand: np.ndarray
+    ):
+        """Decode only the posting blocks whose doc-id range can contain a
+        candidate doc (skip-pointer conjunction via `block_last_doc`).
+        Returns (doc_ids, tfs) restricted to the decoded blocks — a
+        superset of matches within ``cand``'s range."""
+        tbl = reader.postings_for_terms(field, [term])
+        if tbl.num_rows == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        id_parts, tf_parts = [], []
+        for r in tbl.to_pylist():
+            lasts = np.frombuffer(r["block_last_doc"], np.uint64)
+            self.blocks_total += lasts.size
+            # block b covers (lasts[b-1], lasts[b]] — candidates map to blocks
+            need = np.unique(np.searchsorted(lasts, cand, side="left"))
+            need = need[need < lasts.size]
+            if need.size == 0:
+                continue
+            dof = np.frombuffer(r["block_doc_offsets"], np.int32)
+            tfo = np.frombuffer(r["block_tf_offsets"], np.int32)
+            self.blocks_decoded += need.size
+            for b in need:
+                gaps = codecs.varint_decode(r["doc_ids"][dof[b] : dof[b + 1]])
+                id_parts.append(np.cumsum(gaps, dtype=np.uint64))
+                tf_parts.append(codecs.varint_decode(r["tfs"][tfo[b] : tfo[b + 1]]))
+        if not id_parts:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        return np.concatenate(id_parts), np.concatenate(tf_parts)
+
     def _eval_bool(self, node: BoolQuery, reader: SegmentReader, stats: Stats):
+        # conjunction skip path: ALL-term musts evaluate rarest-first and
+        # later terms decode only blocks overlapping the running candidate
+        # set (block_last_doc skip pointers)
+        if (
+            len(node.must) >= 2
+            and all(isinstance(q, TermQuery) for q in node.must)
+            and all(
+                (fd := self.schema.field(q.field)) is not None and fd.is_text and fd.indexed
+                for q in node.must
+            )
+        ):
+            order = sorted(
+                node.must,
+                key=lambda q: -stats.idf.get((q.field, q.value), 0.0),  # rarest first
+            )
+            first = order[0]
+            ids, tfs, _ = self._postings(reader, first.field, first.value)
+            w = stats.idf.get((first.field, first.value), 0.0)
+            scores = (
+                self._bm25(reader, first.field, ids, tfs, w, stats)
+                if ids.size
+                else np.empty(0, np.float64)
+            )
+            for q in order[1:]:
+                if ids.size == 0:
+                    break
+                oids, otfs = self._postings_restricted(reader, q.field, q.value, ids)
+                common, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
+                w = stats.idf.get((q.field, q.value), 0.0)
+                oscores = self._bm25(reader, q.field, common, otfs[ib], w, stats)
+                ids, scores = common, scores[ia] + oscores
+            for sids, sscores in (self._eval(s, reader, stats) for s in node.should):
+                common, ia, ib = np.intersect1d(ids, sids, assume_unique=True, return_indices=True)
+                scores = scores.copy()
+                scores[ia] += sscores[ib]
+            for q in node.must_not:
+                nids, _ = self._eval(q, reader, stats)
+                keep = ~np.isin(ids, nids, assume_unique=True)
+                ids, scores = ids[keep], scores[keep]
+            return ids, scores
+
         musts = [self._eval(q, reader, stats) for q in node.must]
         shoulds = [self._eval(q, reader, stats) for q in node.should]
         if musts:

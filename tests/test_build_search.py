@@ -217,3 +217,89 @@ def test_conjunction_skip_exact_and_prunes(ray_session):
     r = s.search({"query": q, "limit": 5})
     order = np.lexsort((want_ids, -want_scores))[:5]
     assert [d["doc"]["doc_id"] for d in r["docs"]] == want_ids[order].tolist()
+
+
+def _py_lev(a: str, b: str, transposition: bool) -> int:
+    """Independent reference Levenshtein (test-local, not engine code)."""
+    prev2, prev = None, list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(cur[j - 1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb))
+            if transposition and i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[len(b)]
+
+
+def test_reference_query_set_rank_identity(searcher, oracle):
+    """FIXTURES.md §F6: the fixed query set in tests/queries.json,
+    rank-identical (scored kinds) / set-identical (const-score kinds)."""
+    import json as _json
+    import os
+    import re as _re
+
+    with open(os.path.join(os.path.dirname(__file__), "queries.json")) as f:
+        qs = _json.load(f)
+
+    def ids_of(q, k=10_000):
+        return sorted(int(i) for i in searcher.match_doc_ids({"query": q}))
+
+    for q in qs["term"]:
+        t = q["term"]["text"]
+        got = engine_topk(searcher, q, 30)
+        want = oracle.topk(oracle.term_scores("text", t), 30)
+        assert got == [(d, pytest.approx(s, rel=1e-12)) for d, s in want], t
+
+    for q in qs["phrase"]:
+        terms = q["phrase"]["text"]["terms"]
+        got = engine_topk(searcher, q, 30)
+        want = oracle.topk(oracle.phrase_scores("text", terms), 30)
+        assert [g[0] for g in got] == [w[0] for w in want], terms
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
+
+    all_terms = set(oracle.postings["text"])
+
+    for q in qs["fuzzy"]:
+        spec = q["fuzzy"]["text"]
+        matched = {t for t in all_terms
+                   if _py_lev(t, spec["value"], spec["transposition"]) <= spec["distance"]}
+        want = sorted({int(oracle.doc_ids[i]) for t in matched
+                       for i, _, _ in oracle.postings["text"][t]})
+        assert ids_of(q) == want, spec
+
+    for q in qs["regex"]:
+        pat = _re.compile(q["regex"]["text"])
+        matched = {t for t in all_terms if pat.fullmatch(t)}
+        want = sorted({int(oracle.doc_ids[i]) for t in matched
+                       for i, _, _ in oracle.postings["text"][t]})
+        assert ids_of(q) == want, q
+
+    for q in qs["range"]:
+        b = q["range"]["doc_id"]
+        lo = b.get("gt", b.get("gte", -1) - 1) + 1 if ("gt" in b or "gte" in b) else 0
+        hi = b.get("lt", b.get("lte", 10**18) + 1) - 1 if ("lt" in b or "lte" in b) else 10**18
+        want = [d for d in range(N_DOCS) if lo <= d <= hi]
+        assert ids_of(q) == want, b
+
+    for q in qs["bool"]:
+        spec = q["bool"]
+        def scores_for(sub):
+            return oracle.term_scores("text", sub["term"]["text"])
+        musts = [scores_for(s) for s in spec.get("must", [])]
+        shoulds = [scores_for(s) for s in spec.get("should", [])]
+        nots = [scores_for(s) for s in spec.get("must_not", [])]
+        if musts:
+            docs = set(musts[0])
+            for m in musts[1:]:
+                docs &= set(m)
+        else:
+            docs = set().union(*[set(s) for s in shoulds])
+        for n_ in nots:
+            docs -= set(n_)
+        comb = {i: sum(m.get(i, 0.0) for m in musts) + sum(s.get(i, 0.0) for s in shoulds)
+                for i in docs}
+        got = engine_topk(searcher, q, 30)
+        want = oracle.topk(comb, 30)
+        assert [g[0] for g in got] == [w[0] for w in want], spec
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)

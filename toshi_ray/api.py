@@ -146,8 +146,12 @@ class IndexCatalog:
         return {"docs_affected": total}
 
     # ---- search (POST /{idx}) + all_docs (GET /{idx}) ----
-    def search(self, name: str, body: dict | None = None) -> dict:
-        return self._searcher(name).search(body)
+    def search(self, name: str, body: dict | None = None, pretty: bool = False):
+        """``pretty`` mirrors the reference's ?pretty URL option
+        (`toshi-types/src/query/mod.rs:28-59`): return an indented JSON
+        string instead of the dict."""
+        out = self._searcher(name).search(body)
+        return json.dumps(out, indent=2) if pretty else out
 
     def all_docs(self, name: str) -> dict:
         return self.search(name, None)

@@ -432,11 +432,16 @@ class SegmentReader:
         return t.filter(pa.compute.equal(t["field"], field))
 
     def store(self, doc_ids: np.ndarray | None = None) -> pa.Table:
-        t = pq.read_table(self._path(STORE_FILE))
-        if doc_ids is not None:
-            mask = pa.compute.is_in(t["doc_id"], value_set=pa.array(doc_ids, type=pa.uint64()))
-            t = t.filter(mask)
-        return t
+        if doc_ids is None:
+            return pq.read_table(self._path(STORE_FILE))
+        # store is sorted by doc_id → parquet row-group stats prune the
+        # read down to the winners' groups (fetch-only-what-you-rank)
+        import pyarrow.dataset as pads
+
+        wanted = pa.array(np.asarray(doc_ids, dtype=np.uint64), type=pa.uint64())
+        return pq.read_table(
+            self._path(STORE_FILE), filters=pads.field("doc_id").isin(wanted)
+        )
 
 
 def decode_posting_row(row: dict) -> tuple[np.ndarray, np.ndarray]:

@@ -177,6 +177,12 @@ def run_once(build_only: bool = False) -> dict:
     build_cpu = load_manifest(index_root)["metrics"].get("cpu_secs", 0.0)
     if not build_only:
         queries.update(bench_queries(index_root))
+        # segment consolidation: the term-keyed shuffle w/ hot-term salting
+        from toshi_ray.pipelines.merge import merge_segments
+
+        t0 = time.perf_counter()
+        merge_segments(index_root, hot_df_threshold=20_000, shard_span=20_000)
+        queries["segment_merge"] = round(time.perf_counter() - t0, 3)
         queries.update(bench_ops())
     shutil.rmtree(index_root, ignore_errors=True)
 

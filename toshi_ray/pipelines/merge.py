@@ -114,46 +114,156 @@ def _block_meta(doc_ids, tfs):
     }
 
 
-def _merge_group(g: pa.Table) -> pa.Table:
-    """Merge the posting rows of one (field, term, shard_out) group."""
-    shard = int(g["shard_out"][0].as_py())
-    if g.num_rows == 1:
-        out = g.drop(["shard"]).rename_columns(
-            [c if c != "shard_out" else "shard" for c in g.drop(["shard"]).column_names]
-        )
-        return out.select(_MERGED_SCHEMA.names).cast(_MERGED_SCHEMA)
-    g = g.sort_by("first_doc")
-    rows = g.to_pylist()
-    doc_ids = np.concatenate([codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows])
-    tf_payload = b"".join(r["tfs"] for r in rows)
-    tfs = codecs.varint_decode(tf_payload)
-    # positions streams restart absolutely at every doc → concat is valid
-    has_pos = all(r["positions"] is not None for r in rows)
-    pos_payload = b"".join(r["positions"] for r in rows) if has_pos else None
+def _binary_parts(col: pa.Array, n: int):
+    """(contiguous byte buffer, relative per-row byte offsets) of a
+    LargeBinary column."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    voffs = np.frombuffer(col.buffers()[1], np.int64)[col.offset : col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8) if col.buffers()[2] is not None else np.empty(0, np.uint8)
+    big = data[voffs[0] : voffs[-1]]
+    return big, (voffs - voffs[0]).astype(np.int64)
 
-    # re-encode doc ids with block restarts; recompute all skip metadata
-    bm = _block_meta(doc_ids, tfs)
-    # conservative per-term min norm across sources, replicated per block
-    src_min = min(min(r["block_min_norm"]) for r in rows)
+
+def _merge_partition(t: pa.Table) -> pa.Table:
+    """Vectorized merge of ALL posting rows in one coarse partition.
+
+    One segmented varint decode of every run, one segmented re-encode
+    with fresh per-group 128-doc block restarts — no per-term Python
+    loop (the per-group work that remains is pure numpy reduceat).
+    tf / position payloads are byte-level concatenations (their streams
+    are context-free / restart per doc), so they are sliced from the
+    combined buffer, never re-encoded.
+    """
+    from toshi_ray.segments import _block_starts
+
+    t = t.sort_by(
+        [("field", "ascending"), ("term", "ascending"),
+         ("shard_out", "ascending"), ("first_doc", "ascending")]
+    ).combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return pa.table({f.name: pa.array([], type=f.type) for f in _MERGED_SCHEMA})
+    fields = t["field"].to_numpy(zero_copy_only=False)
+    terms = t["term"].to_numpy(zero_copy_only=False)
+    shards = t["shard_out"].to_numpy(zero_copy_only=False)
+    df_rows = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    new_g = np.ones(n, dtype=bool)
+    new_g[1:] = (
+        (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    )
+    g_starts = np.nonzero(new_g)[0]
+    g_offsets = np.concatenate([g_starts, [n]]).astype(np.int64)
+    n_groups = g_starts.size
+
+    # ---- decode every doc-id run in ONE pass ----
+    doc_big, doc_rel = _binary_parts(t["doc_ids"], n)
+    gaps = codecs.varint_decode(doc_big)
+    row_val_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(df_rows, out=row_val_offs[1:])
+    old_bstarts, _ = _block_starts(row_val_offs)
+    old_bounds = np.concatenate([old_bstarts, [row_val_offs[-1]]]).astype(np.int64)
+    doc_flat = codecs.segmented_delta_decode(gaps, old_bounds)
+
+    g_val_offs = row_val_offs[g_offsets]
+
+    # ---- re-encode with per-GROUP block restarts ----
+    new_bstarts, new_nblocks = _block_starts(g_val_offs)
+    new_bounds = np.concatenate([new_bstarts, [g_val_offs[-1]]]).astype(np.int64)
+    new_gaps = codecs.segmented_delta(doc_flat, new_bounds)
+    new_payload, new_blk_bytes = codecs.segmented_varint_encode(new_gaps, new_bounds)
+    blk_list_offs = np.zeros(n_groups + 1, np.int64)
+    np.cumsum(new_nblocks, out=blk_list_offs[1:])
+    doc_byte_offs = new_blk_bytes[blk_list_offs]
+
+    # ---- tfs: values decoded once (for block max), payload = byte slices ----
+    tf_big, tf_rel = _binary_parts(t["tfs"], n)
+    tfs_flat = codecs.varint_decode(tf_big)
+    tf_lens = codecs.varint_byte_lengths(tfs_flat)
+    tf_cum = np.zeros(tfs_flat.size + 1, np.int64)
+    np.cumsum(tf_lens, out=tf_cum[1:])
+    tf_group_offs = tf_rel[g_offsets]
+    tf_blk_bytes = tf_cum[new_bounds]
+
+    # ---- per-term block tables (relative i32 offsets + u64 last docs) ----
+    n_entries = new_nblocks + 1
+    ent_base = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(n_entries, out=ent_base[1:])
+    gather = np.repeat(blk_list_offs[:-1], n_entries) + (
+        np.arange(int(n_entries.sum()), dtype=np.int64) - np.repeat(ent_base[:-1], n_entries)
+    )
+    rel_doc = new_blk_bytes[gather] - np.repeat(new_blk_bytes[blk_list_offs[:-1]], n_entries)
+    rel_tf = tf_blk_bytes[gather] - np.repeat(tf_blk_bytes[blk_list_offs[:-1]], n_entries)
+    blk_last = doc_flat[new_bounds[1:] - 1] if doc_flat.size else np.empty(0, np.uint64)
+
+    # ---- block max tf / conservative min norm ----
+    blk_max = np.maximum.reduceat(tfs_flat, new_bstarts).astype(np.uint64)
+    bm_payload, bm_boffs = codecs.segmented_varint_encode(blk_max, blk_list_offs)
+    bn_big, bn_rel = _binary_parts(t["block_min_norm"], n)
+    nonzero_rows = np.diff(bn_rel) > 0
+    row_min = np.full(n, 255, np.uint8)
+    if bn_big.size:
+        starts_nz = bn_rel[:-1][nonzero_rows]
+        row_min[nonzero_rows] = np.minimum.reduceat(bn_big, starts_nz)
+    grp_min = np.minimum.reduceat(row_min, g_offsets[:-1])
+    bn_payload = np.repeat(grp_min, new_nblocks).tobytes()
+
+    # ---- per-group scalar stats ----
+    df_g = np.diff(g_val_offs).astype(np.uint32)
+    total_tf = np.add.reduceat(tfs_flat, g_val_offs[:-1]).astype(np.uint64)
+    max_tf_g = np.maximum.reduceat(tfs_flat, g_val_offs[:-1]).astype(np.uint32)
+    first_doc = doc_flat[g_val_offs[:-1]].astype(np.uint64)
+
+    # ---- positions: byte-level concat per group (restart-per-doc streams) ----
+    pos_col = t["positions"].combine_chunks()
+    if pos_col.null_count == 0:
+        pos_big, pos_rel = _binary_parts(pos_col, n)
+        pos_arr = _binary_from_offsets_local(pos_big.tobytes(), pos_rel[g_offsets])
+    elif pos_col.null_count == n:
+        pos_arr = pa.nulls(n_groups, type=pa.large_binary())
+    else:  # mixed (multiple fields in one partition) — python join per group
+        vals = pos_col.to_pylist()
+        joined = [
+            b"".join(v for v in vals[a:b] if v is not None) or None
+            for a, b in zip(g_offsets[:-1], g_offsets[1:])
+        ]
+        pos_arr = pa.array(joined, type=pa.large_binary())
+
+    take_starts = pa.array(g_starts)
     return pa.table(
         {
-            "field": [rows[0]["field"]],
-            "term": [rows[0]["term"]],
-            "shard": [shard],
-            "df": [sum(r["df"] for r in rows)],
-            "first_doc": [int(doc_ids[0])],
-            "total_tf": [sum(r["total_tf"] for r in rows)],
-            "max_tf": [max(r["max_tf"] for r in rows)],
-            "doc_ids": [bm["doc_ids"]],
-            "tfs": [tf_payload],
-            "positions": [pos_payload],
-            "block_max_tf": [bm["block_max_tf"]],
-            "block_min_norm": [bytes([src_min]) * bm["n_blocks"]],
-            "block_doc_offsets": [bm["block_doc_offsets"]],
-            "block_tf_offsets": [bm["block_tf_offsets"]],
-            "block_last_doc": [bm["block_last_doc"]],
+            "field": t["field"].take(take_starts),
+            "term": t["term"].take(take_starts),
+            "shard": pa.array(shards[g_starts].astype(np.int32)),
+            "df": pa.array(df_g),
+            "first_doc": pa.array(first_doc),
+            "total_tf": pa.array(total_tf),
+            "max_tf": pa.array(max_tf_g),
+            "doc_ids": _binary_from_offsets_local(new_payload, doc_byte_offs),
+            "tfs": _binary_from_offsets_local(tf_big.tobytes(), tf_group_offs),
+            "positions": pos_arr,
+            "block_max_tf": _binary_from_offsets_local(bm_payload, bm_boffs),
+            "block_min_norm": _binary_from_offsets_local(bn_payload, blk_list_offs),
+            "block_doc_offsets": _binary_from_offsets_local(
+                rel_doc.astype(np.int32).tobytes(), ent_base * 4
+            ),
+            "block_tf_offsets": _binary_from_offsets_local(
+                rel_tf.astype(np.int32).tobytes(), ent_base * 4
+            ),
+            "block_last_doc": _binary_from_offsets_local(
+                blk_last.astype(np.uint64).tobytes(), blk_list_offs * 8
+            ),
         },
         schema=_MERGED_SCHEMA,
+    )
+
+
+def _binary_from_offsets_local(payload, byte_offsets):
+    from toshi_ray.segments import _binary_from_offsets
+
+    return _binary_from_offsets(
+        payload if isinstance(payload, bytes) else bytes(payload),
+        np.asarray(byte_offsets, dtype=np.int64),
     )
 
 
@@ -232,7 +342,11 @@ def merge_segments(
     ).take_all()
     hot = {(r["field"], r["term"]) for r in hot_tbl}
 
+    n_parts = 64  # coarse shuffle partitions; each merges vectorized
+
     def tag(batch: pa.Table) -> pa.Table:
+        from toshi_ray.ops.dedup import _hash_strings, _mix
+
         if tombs.size:
             batch = apply_tombstones_to_postings(batch, tombs)
         f = batch["field"].to_pylist()
@@ -243,12 +357,15 @@ def merge_segments(
             (fd // shard_span).astype(np.int64),
             0,
         )
-        return batch.append_column("shard_out", pa.array(shard_out, type=pa.int64()))
+        batch = batch.append_column("shard_out", pa.array(shard_out, type=pa.int64()))
+        th = _hash_strings(batch["term"].combine_chunks().cast(pa.large_binary()))
+        part = (_mix(th ^ shard_out.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
 
     merged = (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby(["field", "term", "shard_out"])
-        .map_groups(_merge_group, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_merge_partition, batch_format="pyarrow")
         .sort(["field", "term", "shard"])
     )
 

@@ -161,3 +161,23 @@ def test_multimodal_stub_plumbing(ray_session):
     fs = FrameSampleStage()(pa.table({"doc_id": pa.array([7], pa.int64()),
                                       "duration_ms": pa.array([2500], pa.int64())}))
     assert fs["frame_ms"].to_pylist() == [0, 1000, 2000]
+
+
+def test_tumbling_window_matches_sql(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (pd.DataFrame(tumbling_window_agg(ds).take_all())
+           .sort_values(["event_type", "window_start_s"]).reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT event_type, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) window_start_s,
+               count(*) n, sum(CAST(floor(value*1000) AS BIGINT)) sum_value_x1e3
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64", "sum_value_x1e3": "int64"}),
+        want.astype({"n": "int64", "sum_value_x1e3": "int64"}),
+        check_dtype=False,
+    )

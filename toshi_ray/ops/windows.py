@@ -1,0 +1,60 @@
+"""Windowed aggregates over event streams (batch windows, Ray-Data-shaped).
+
+Ray Data has no event-time/watermark machinery; stream-shaped inputs
+are treated as an ordered, partitioned log. Tumbling windows become a
+computed window key + pre-aggregated groupby (the combiner runs inside
+`map_batches`, so the shuffle carries one row per (key, window) per
+batch, not one per event). Sliding/session windows follow the
+`groupby(key).map_groups(sorted-pandas)` pattern described in the Ray
+guide; only tumbling is wired to a SQL oracle here.
+
+Value sums are carried as integer-scaled `floor(value*1000)` so the
+aggregate is order-free and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def tumbling_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_secs: int = 3600,
+):
+    """→ Dataset of (key, window_start_s, n, sum_value_x1e3)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs
+        ws = (ts // (window_secs * 1_000_000)) * window_secs
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        # per-batch combine: one row per (key, window)
+        order = np.lexsort((ws, keys))
+        keys, ws, vals = keys[order], ws[order], vals[order]
+        new = np.ones(keys.size, dtype=bool)
+        new[1:] = (keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.nonzero(new)[0]
+        bounds = np.concatenate([starts, [keys.size]])
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], type=pa.string()),
+                "window_start_s": pa.array(ws[starts]),
+                "n": pa.array(np.diff(bounds).astype(np.int64)),
+                "sum_value_x1e3": pa.array(np.add.reduceat(vals, starts)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start_s"])
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sum_value_x1e3", alias_name="sum_value_x1e3"),
+        )
+    )

@@ -7,9 +7,16 @@ SURVEY.md §2.6 A3), re-expressed as a Ray Data job:
 
     read_parquet([seg_i/postings])                    # one row per (term, shard)
       → map_batches(tag hot terms with doc-range salt)  # skew handling
-      → groupby(field, term, shard_out)               # the all-to-all shuffle
-          .map_groups(merge posting runs)             # decode+concat+re-encode
+      → groupby(hash(field,term,shard) % 64)          # the all-to-all shuffle
+          .map_groups(vectorized partition merge)     # ONE segmented
+                                                      #   decode/encode pass
+                                                      #   per partition
       → sort(field, term, shard) → write_parquet      # merged term dictionary
+
+The shuffle key is a COARSE partition of the term hash (not one Ray
+group per term — per-group Python overhead would dominate at millions
+of terms); all (field, term, shard) groups inside a partition merge in
+a single numpy pass (`_merge_partition`).
 
 Salting (SURVEY.md §7.3/§7.4): a term whose df in ANY source segment
 exceeds ``hot_df_threshold`` keeps per-doc-range shards

@@ -340,6 +340,21 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from toshi_ray.ops.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = tumbling_window_agg(ds).take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"window_start_s": "int64", "n": "int64", "sum_value_x1e3": "int64"})
+        .sort_values(["event_type", "window_start_s"])
+        .reset_index(drop=True)
+    )
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import fingerprint
 
@@ -450,6 +465,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
+    sql["events_window"] = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_x1e3
+FROM events
+GROUP BY event_type, floor(epoch(ts) / 3600) * 3600
+ORDER BY event_type, window_start_s
+"""
+
     sql["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text ORDER BY doc_id
@@ -539,5 +564,6 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
+    "events_window": q_events_window,
     "fingerprint": q_fingerprint,
 }

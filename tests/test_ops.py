@@ -55,7 +55,10 @@ def test_minhash_estimates_jaccard(ray_session):
     near = base.replace("lazy", "sleepy")
     far = "completely different words entirely unrelated content here now " * 5
     t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": [base, near, far]})
-    pairs = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.3).take_all()
+    # 2-row bands: detection prob for J≈0.5 is 1-(1-J²)³² ≈ 1.0
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(t), threshold=0.3, num_perm=64, bands=32
+    ).take_all()
     keys = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in keys
     assert (0, 2) not in keys and (1, 2) not in keys
@@ -181,3 +184,35 @@ def test_tumbling_window_matches_sql(ray_session):
         want.astype({"n": "int64", "sum_value_x1e3": "int64"}),
         check_dtype=False,
     )
+
+
+def test_content_hash_batch_invariant():
+    """Regression: equal strings must hash equal regardless of which
+    batch (and which batch max-length) they appear in."""
+    import pyarrow as pa
+
+    from toshi_ray.ops.dedup import _hash_strings
+
+    strs = ["short", "a" * 100, "short", "", "medium length string here", "a" * 100]
+    full = _hash_strings(pa.array(strs, pa.large_binary()))
+    b1 = _hash_strings(pa.array(["short", ""], pa.large_binary()))
+    b2 = _hash_strings(pa.array(["a" * 100, "short"], pa.large_binary()))
+    assert full[0] == full[2] == b1[0] == b2[1]
+    assert full[1] == full[5] == b2[0]
+    assert full[3] == b1[1]
+    assert len(set(full.tolist())) == 4
+
+
+def test_exact_dedup_across_batches(ray_session):
+    """Duplicates must collapse even when copies land in different blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.ops.dedup import exact_dedup
+
+    long = "x" * 500
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["dup me", long]})
+    t2 = pa.table({"doc_id": pa.array([3, 4], pa.int64()), "text": ["dup me", "unique"]})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup(ds).take_all()}
+    assert got == {1: 2, 2: 1, 4: 1}

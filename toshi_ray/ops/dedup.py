@@ -91,14 +91,17 @@ def _hash_strings(col: pa.Array) -> np.ndarray:
     max_len = int(lens.max()) if len(lens) else 0
     P = _U(1099511628211)
     for w in range(0, max_len, 8):
-        take = np.minimum(np.maximum(lens - w, 0), 8)
-        words = np.zeros(len(col), dtype=_U)
+        active = lens > w  # rounds depend ONLY on the string's own length,
+        # never the batch's max — equal strings hash equal at any batching
+        take = np.minimum(lens[active] - w, 8)
+        words = np.zeros(int(active.sum()), dtype=_U)
+        starts = offs[:-1][active]
         for b in range(8):
             sel = take > b
             if not sel.any():
                 break
-            words[sel] |= buf[offs[:-1][sel] + w + b].astype(_U) << _U(8 * b)
-        out = (out * P) ^ _mix(words + _U(w + 1))
+            words[sel] |= buf[starts[sel] + w + b].astype(_U) << _U(8 * b)
+        out[active] = (out[active] * P) ^ _mix(words + _U(w + 1))
     return out ^ _mix(lens.astype(_U))
 
 

@@ -125,7 +125,7 @@ def bench_queries(index_root: str) -> dict[str, float]:
             s.search(body)
             lat.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(lat), 4)
-    return out
+    return s, out
 
 
 def bench_ops() -> dict[str, float]:
@@ -176,13 +176,19 @@ def run_once(build_only: bool = False) -> dict:
 
     build_cpu = load_manifest(index_root)["metrics"].get("cpu_secs", 0.0)
     if not build_only:
-        queries.update(bench_queries(index_root))
-        # segment consolidation: the term-keyed shuffle w/ hot-term salting
+        searcher, qtimes = bench_queries(index_root)
+        queries.update(qtimes)
+        searcher.close()  # free the scorer pool's CPUs before the merge
+        # segment consolidation: the term-keyed shuffle w/ hot-term salting.
+        # A log-policy bucket (16 runs), like an incremental merge — not
+        # the whole index at once.
+        from toshi_ray.pipelines.build import load_manifest as _lm
         from toshi_ray.pipelines.merge import merge_segments
 
+        bucket = [s["name"] for s in _lm(index_root)["segments"][:16]]
         t0 = time.perf_counter()
-        merge_segments(index_root, hot_df_threshold=20_000, shard_span=20_000)
-        queries["segment_merge"] = round(time.perf_counter() - t0, 3)
+        merge_segments(index_root, bucket, hot_df_threshold=20_000, shard_span=20_000)
+        queries["segment_merge_16runs"] = round(time.perf_counter() - t0, 3)
         queries.update(bench_ops())
     shutil.rmtree(index_root, ignore_errors=True)
 

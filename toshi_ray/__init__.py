@@ -21,6 +21,10 @@ _LAZY = {
     "Searcher": ("toshi_ray.search", "Searcher"),
     "parse_query": ("toshi_ray.query", "parse_query"),
     "QueryError": ("toshi_ray.query", "QueryError"),
+    "IndexCatalog": ("toshi_ray.api", "IndexCatalog"),
+    "merge_segments": ("toshi_ray.pipelines.merge", "merge_segments"),
+    "maybe_merge": ("toshi_ray.pipelines.merge", "maybe_merge"),
+    "delete_by_term": ("toshi_ray.pipelines.merge", "delete_by_term"),
 }
 
 
@@ -42,6 +46,10 @@ __all__ = [
     "Searcher",
     "parse_query",
     "QueryError",
+    "IndexCatalog",
+    "merge_segments",
+    "maybe_merge",
+    "delete_by_term",
 ]
 
 __version__ = "0.1.0"

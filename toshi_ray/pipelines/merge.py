@@ -381,19 +381,28 @@ def merge_segments(
     os.makedirs(tmp, exist_ok=True)
     merged.write_parquet(os.path.join(tmp, "postings"))
 
-    # ---- docvalues + store: concat of disjoint doc ranges ----
-    for fname in (DOCVALUES_FILE, STORE_FILE):
-        paths = [_resolve(os.path.join(seg_dir, n, fname)) for n in names]
-        side = ray.data.read_parquet(paths)
-        if tombs.size:
-            tomb_sorted = tombs
+    # ---- docvalues + store: ORDERED concat of disjoint doc ranges ----
+    # source segments cover disjoint doc-id intervals, so reading them in
+    # min_doc order with preserve_order replaces a full sort shuffle
+    ordered = sorted(names, key=lambda n: segs[n]["min_doc_id"])
+    ctx = ray.data.DataContext.get_current()
+    prev_preserve = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        for fname in (DOCVALUES_FILE, STORE_FILE):
+            paths = [_resolve(os.path.join(seg_dir, n, fname)) for n in ordered]
+            side = ray.data.read_parquet(paths)
+            if tombs.size:
+                tomb_sorted = tombs
 
-            def drop(t: pa.Table) -> pa.Table:
-                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                return t.filter(pa.array(~np.isin(ids, tomb_sorted)))
+                def drop(t: pa.Table) -> pa.Table:
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    return t.filter(pa.array(~np.isin(ids, tomb_sorted)))
 
-            side = side.map_batches(drop, batch_format="pyarrow")
-        side.sort("doc_id").write_parquet(os.path.join(tmp, fname.replace(".parquet", "")))
+                side = side.map_batches(drop, batch_format="pyarrow")
+            side.write_parquet(os.path.join(tmp, fname.replace(".parquet", "")))
+    finally:
+        ctx.execution_options.preserve_order = prev_preserve
 
     dv = pq.read_table(os.path.join(tmp, "docvalues"), columns=["doc_id"])
     n_docs = dv.num_rows

@@ -9,8 +9,10 @@ full BM25 with the byte-quantized fieldnorm table inlined as VALUES —
 nothing is shared with the engine beyond the published formulas
 (SURVEY.md §2.5), so agreement is a real cross-check.
 
-Scores are rounded to 4 dp on BOTH sides (floating summation order
-differs between numpy and DuckDB only below that).
+Float scores are integer-scaled (`floor(score * 10^k)`) on BOTH sides:
+the scaled expression is evaluated over the same IEEE doubles in the
+same order, so the comparison is hash-exact instead of
+tolerance-based.
 """
 
 from __future__ import annotations

@@ -687,6 +687,15 @@ class Searcher:
     def _teardown_groups(self):
         self._groups = []
 
+    def close(self) -> None:
+        """Kill the scorer actor pool (frees their reserved CPUs)."""
+        for kind, g in self._groups:
+            if kind == "ray":
+                import ray
+
+                ray.kill(g, no_restart=True)
+        self._groups = []
+
     def _seg_dir(self, seg: dict) -> str:
         return os.path.join(self.index_root, SEGMENTS_DIR, seg["name"])
 

@@ -125,6 +125,21 @@ def bench_queries(index_root: str) -> dict[str, float]:
             s.search(body)
             lat.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(lat), 4)
+
+    # the 50-query reference set (tests/queries.json), batched: one stats
+    # round + one scoring round per scorer group via multi_search
+    qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
+    with open(qpath) as f:
+        qset = json.load(f)
+    bodies = [
+        {"query": q, "limit": 100}
+        for kind in ("term", "phrase", "bool", "range", "fuzzy", "regex")
+        for q in qset[kind]
+    ]
+    s.multi_search(bodies[:2])  # warm
+    t0 = time.perf_counter()
+    s.multi_search(bodies)
+    out["q_set_50_batched"] = round(time.perf_counter() - t0, 4)
     return s, out
 
 
@@ -247,8 +262,17 @@ def run_scaling() -> dict:
     """Identical job at two parallelism levels in FRESH processes,
     interleaved best-of-2 per level (machine noise is 2-4x here)."""
 
+    # scaling runs use a 4x corpus so the job is long enough to amortize
+    # fixed startup/scheduling costs at the high parallelism level
+    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", str(N_PAGES * 4)))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING_CHILD="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_DOCS=str(scale_docs),
+            GRAFT_BENCH_SCALING_CHILD="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--build-only"],
             env=env,

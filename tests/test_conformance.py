@@ -238,3 +238,15 @@ def test_distributed_matches_local(searcher):
     ]:
         a, b = searcher.search({"query": q}), sd.search({"query": q})
         assert a == b
+
+
+def test_multi_search_matches_single(searcher):
+    bodies = [
+        {"query": {"term": {"test_text": "document"}}},
+        {"query": {"phrase": {"test_text": {"terms": ["test", "document"]}}}, "limit": 2},
+        {"query": {"term": {"test_text": "document"}}, "facets": {"test_facet": ["/cat"]}},
+        {"query": None, "sort_by": "test_u64", "limit": 3},
+    ]
+    batch = searcher.multi_search(bodies)
+    singles = [searcher.search(b) for b in bodies]
+    assert batch == singles

@@ -209,6 +209,14 @@ class SegmentGroupScorer:
                     top_rows.append((int(doc_ids[i]), float(scores[i]), si))
         return top_rows, facet_counts
 
+    def score_topk_many(self, plans, stats: Stats, ks, sort_bys, facets_list):
+        """Batched variant: score MANY queries in one actor round-trip
+        (amortizes RPC + postings fetch for query-set workloads)."""
+        return [
+            self.score_topk(p, stats, k, sb, fc)
+            for p, k, sb, fc in zip(plans, ks, sort_bys, facets_list)
+        ]
+
     def count_matches(self, plan, stats: Stats) -> int:
         return sum(a.size for a in self.match_ids(plan, stats))
 
@@ -762,29 +770,63 @@ class Searcher:
 
     def search(self, body: dict | Search | None = None) -> dict:
         """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""
-        s = self._plan(body)
-        stats = self._stats_for(s.query)
-        results = self._call("score_topk", s.query, stats, s.limit, s.sort_by, s.facets)
+        return self.multi_search([body])[0]
 
-        rows = []  # (doc_id, score, group idx, local seg idx)
-        facet_acc: dict[str, int] = {}
-        for gi, (top, fc) in enumerate(results):
-            rows.extend((d, sc, gi, si) for d, sc, si in top)
-            for k, v in fc.items():
-                facet_acc[k] = facet_acc.get(k, 0) + v
-        # global (score desc, doc_id asc) merge, cut to limit
-        rows.sort(key=lambda r: (-r[1], r[0]))
-        rows = rows[: s.limit]
+    def multi_search(self, bodies: list) -> list[dict]:
+        """Execute a batch of queries with ONE stats round-trip and ONE
+        scoring round-trip per scorer group (query-set workloads)."""
+        searches = [self._plan(b) for b in bodies]
+        # shared stats phase over the union of needed terms
+        needs = sorted({n for s in searches for n in _collect_term_stats_needs(s.query, self.schema)})
+        idf_map: dict = {}
+        if needs:
+            dfs: dict = {}
+            for part in self._call("term_dfs", needs):
+                for kt, df in part.items():
+                    dfs[kt] = dfs.get(kt, 0) + df
+            for kt in needs:
+                idf_map[kt] = float(idf(self.n_docs, dfs.get(kt, 0)))
+        stats = Stats(
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            idf=idf_map,
+            tombstones=self.tombstones if self.tombstones.size else None,
+        )
+        group_results = self._call(
+            "score_topk_many",
+            [s.query for s in searches],
+            stats,
+            [s.limit for s in searches],
+            [s.sort_by for s in searches],
+            [s.facets for s in searches],
+        )
+
+        # per-query global merge + one combined winner-fetch per group
+        per_query_rows: list[list] = []
+        per_query_facets: list[dict] = []
+        wanted_by_group: dict[int, dict[int, set]] = {}
+        for qi, s in enumerate(searches):
+            rows = []
+            facet_acc: dict[str, int] = {}
+            for gi, results in enumerate(group_results):
+                top, fc = results[qi]
+                rows.extend((d, sc, gi, si) for d, sc, si in top)
+                for k, v in fc.items():
+                    facet_acc[k] = facet_acc.get(k, 0) + v
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            rows = rows[: s.limit]
+            for d, _, gi, si in rows:
+                wanted_by_group.setdefault(gi, {}).setdefault(si, set()).add(d)
+            per_query_rows.append(rows)
+            per_query_facets.append(facet_acc)
 
         # fetch stored fields for the winners only (SURVEY.md §3.3)
-        wanted_by_group: dict[int, dict[int, list[int]]] = {}
-        for d, _, gi, si in rows:
-            wanted_by_group.setdefault(gi, {}).setdefault(si, []).append(d)
         docs_by_id: dict[int, dict] = {}
         self._ensure_groups()
         fetch_refs = []
         for gi, wanted in wanted_by_group.items():
             kind, g = self._groups[gi]
+            wanted = {si: sorted(ids) for si, ids in wanted.items()}
             if kind == "ray":
                 fetch_refs.append(g.fetch_docs.remote(wanted))
             else:
@@ -797,14 +839,17 @@ class Searcher:
                 for doc in part:
                     docs_by_id[int(doc["doc_id"])] = doc
 
-        docs = [
-            {"score": float(sc), "doc": _jsonify(docs_by_id.get(int(d), {"doc_id": int(d)}))}
-            for d, sc, _, _ in rows
-        ]
-        out = {"hits": len(docs), "docs": docs}
-        if s.facets is not None:
-            out["facets"] = facet_acc
-        return out
+        outs = []
+        for s, rows, facet_acc in zip(searches, per_query_rows, per_query_facets):
+            docs = [
+                {"score": float(sc), "doc": _jsonify(docs_by_id.get(int(d), {"doc_id": int(d)}))}
+                for d, sc, _, _ in rows
+            ]
+            out = {"hits": len(docs), "docs": docs}
+            if s.facets is not None:
+                out["facets"] = facet_acc
+            outs.append(out)
+        return outs
 
     def count(self, body: dict | Search | None = None) -> int:
         s = self._plan(body)

@@ -216,3 +216,32 @@ def test_exact_dedup_across_batches(ray_session):
     ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
     got = {r["doc_id"]: r["n_copies"] for r in exact_dedup(ds).take_all()}
     assert got == {1: 2, 2: 1, 4: 1}
+
+
+def test_ivf_partitioned_index(emb, tmp_path):
+    """The partitioned IVF index must agree with the scan-based IVF and
+    only read the probed cells."""
+    import numpy as np
+
+    from toshi_ray.ops.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cent = train_ivf_centroids(emb, n_cells=8)
+    path = build_ivf_index(emb, cent, str(tmp_path / "ivf"))
+    import os
+
+    cells_on_disk = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells_on_disk) == 8
+
+    head = emb.limit(4).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    qids = np.array([r["vec_id"] for r in head])
+    a = ivf_index_topk(path, q, cent, k=8, nprobe=3, query_ids=qids)
+    b = ivf_topk(emb, q, cent, k=8, nprobe=3, query_ids=qids)
+    pa_ = a[["query_id", "vec_id"]].values.tolist()
+    pb_ = b[["query_id", "vec_id"]].values.tolist()
+    assert pa_ == pb_

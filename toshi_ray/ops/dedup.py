@@ -129,7 +129,9 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         counts = np.diff(np.concatenate([starts, [h.size]]))
         return pa.table(
             {
-                "h": pa.array(h[starts]),
+                # int64 key: Ray's aggregate planner round-trips uint64
+                # group keys through a pickled extension type
+                "h": pa.array((h[starts] >> _U(1)).astype(np.int64)),
                 id_col: pa.array(min_ids),
                 "n": pa.array(counts.astype(np.int64)),
             }

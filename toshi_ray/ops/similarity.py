@@ -97,6 +97,110 @@ def train_ivf_centroids(
     return cent
 
 
+def build_ivf_index(
+    ds,
+    centroids: np.ndarray,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize an IVF index: vectors written as parquet PARTITIONED
+    BY cell (hive layout), so a probe reads only its cells' files —
+    the true scale path (brute_force touches every byte; this touches
+    nprobe/n_cells of them)."""
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        v = _normalize(_as_matrix(t[vec_col]))
+        cell = np.argmax(v @ cent.T, axis=1).astype(np.int32)
+        # `cell` becomes the hive partition dir; `cell_id` stays physical
+        # so per-row cells survive a manually-pruned read
+        t = t.append_column("cell", pa.array(cell))
+        return t.append_column("cell_id", pa.array(cell))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell"]
+    )
+    return path
+
+
+def ivf_index_topk(
+    index_path: str,
+    query_vecs: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+):
+    """ANN over a partitioned IVF index: reads ONLY the probed cells
+    (parquet partition pruning), then exact cosine within them."""
+    import ray.data
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(q.shape[0])
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    cells = sorted({int(c) for row in probes for c in row})
+    # manual partition pruning: only the probed cells' directories are
+    # even LISTED, let alone read
+    import os
+
+    import glob
+
+    paths = [
+        f
+        for c in cells
+        for f in sorted(glob.glob(os.path.join(index_path, f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    ds = ray.data.read_parquet(paths)
+    import ray
+
+    ref = ray.put((q, probes))
+
+    def score(t: pa.Table) -> pa.Table:
+        qm, prob = ray.get(ref)
+        v = _normalize(_as_matrix(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cell = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            m = np.isin(cell, prob[qi])
+            if not m.any():
+                continue
+            sims = v[m] @ qm[qi]
+            kk = min(k, sims.size)
+            loc = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_id.append(ids[m][loc])
+            out_s.append(sims[loc])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    if df.empty:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
 def ivf_topk(
     ds,
     query_vecs: np.ndarray,

@@ -305,14 +305,24 @@ def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    from toshi_ray.ops.similarity import ivf_topk, train_ivf_centroids
+    """IVF over a cell-PARTITIONED index: the scale path — a probe reads
+    only nprobe/n_cells of the corpus bytes."""
+    from toshi_ray.ops.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        train_ivf_centroids,
+    )
 
     emb = _emb_ds(sf_dir)
     head = emb.limit(5).take_all()
     q = np.stack([r["embedding"] for r in head])
     qids = np.array([r["vec_id"] for r in head])
     cent = train_ivf_centroids(emb, n_cells=8)
-    df = ivf_topk(emb, q, cent, k=10, nprobe=3, query_ids=qids)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(CACHE_ROOT, f"ivf-{key}")
+    if not os.path.isdir(path):
+        build_ivf_index(emb, cent, path)
+    df = ivf_index_topk(path, q, cent, k=10, nprobe=3, query_ids=qids)
     df["score"] = df["score"].round(4)
     return df.astype({"query_id": "int64", "vec_id": "int64"})
 

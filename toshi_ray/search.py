@@ -681,6 +681,7 @@ class Searcher:
         for fname, tot in totals.items():
             self.avgdl[fname] = tot / self.n_docs if self.n_docs else 0.0
         self.tombstones = self._load_tombstones()
+        self._df_cache: dict = {}  # (field, term) -> global df; static per manifest
         self._teardown_groups()
 
     def _load_tombstones(self) -> np.ndarray:
@@ -753,18 +754,18 @@ class Searcher:
 
     def _stats_for(self, plan) -> Stats:
         needs = sorted(set(_collect_term_stats_needs(plan, self.schema)))
-        idf_map: dict = {}
-        if needs:
+        missing = [n for n in needs if n not in self._df_cache]
+        if missing:
             dfs: dict = {}
-            for part in self._call("term_dfs", needs):
+            for part in self._call("term_dfs", missing):
                 for kt, df in part.items():
                     dfs[kt] = dfs.get(kt, 0) + df
-            for kt in needs:
-                idf_map[kt] = float(idf(self.n_docs, dfs.get(kt, 0)))
+            for kt in missing:
+                self._df_cache[kt] = dfs.get(kt, 0)
         return Stats(
             n_docs=self.n_docs,
             avgdl=self.avgdl,
-            idf=idf_map,
+            idf={kt: float(idf(self.n_docs, self._df_cache[kt])) for kt in needs},
             tombstones=self.tombstones if self.tombstones.size else None,
         )
 
@@ -776,16 +777,18 @@ class Searcher:
         """Execute a batch of queries with ONE stats round-trip and ONE
         scoring round-trip per scorer group (query-set workloads)."""
         searches = [self._plan(b) for b in bodies]
-        # shared stats phase over the union of needed terms
+        # shared stats phase over the union of needed terms; global df is
+        # static per manifest version, so repeat terms skip the round-trip
         needs = sorted({n for s in searches for n in _collect_term_stats_needs(s.query, self.schema)})
-        idf_map: dict = {}
-        if needs:
+        missing = [n for n in needs if n not in self._df_cache]
+        if missing:
             dfs: dict = {}
-            for part in self._call("term_dfs", needs):
+            for part in self._call("term_dfs", missing):
                 for kt, df in part.items():
                     dfs[kt] = dfs.get(kt, 0) + df
-            for kt in needs:
-                idf_map[kt] = float(idf(self.n_docs, dfs.get(kt, 0)))
+            for kt in missing:
+                self._df_cache[kt] = dfs.get(kt, 0)
+        idf_map = {kt: float(idf(self.n_docs, self._df_cache[kt])) for kt in needs}
         stats = Stats(
             n_docs=self.n_docs,
             avgdl=self.avgdl,

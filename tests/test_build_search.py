@@ -303,3 +303,33 @@ def test_reference_query_set_rank_identity(searcher, oracle):
         want = oracle.topk(comb, 30)
         assert [g[0] for g in got] == [w[0] for w in want], spec
         np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
+
+
+def test_partial_build_resume_reuses_segments(ray_session):
+    """north_rule resumability: after losing the manifest mid-build, a
+    rerun must reuse finished segment dirs (idempotent writes) and only
+    republish the manifest."""
+    import json
+    import os
+
+    root = tempfile.mkdtemp(prefix="toshi_partial_")
+    build_index(pages_dataset(300, parallelism=3), page_schema(), root,
+                docs_per_segment=100)
+    seg_dir = os.path.join(root, "segments")
+    segs = sorted(os.listdir(seg_dir))
+    assert len(segs) == 3
+    # simulate a crash before commit: manifest lost, one partition unfinished
+    os.remove(os.path.join(root, "manifest.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(seg_dir, segs[1]))
+    mtimes = {s: os.path.getmtime(os.path.join(seg_dir, s, "meta.json"))
+              for s in (segs[0], segs[2])}
+
+    m = build_index(pages_dataset(300, parallelism=3), page_schema(), root,
+                    docs_per_segment=100)
+    assert sorted(s["name"] for s in m["segments"]) == segs
+    for s, old in mtimes.items():  # finished partitions were NOT rewritten
+        assert os.path.getmtime(os.path.join(seg_dir, s, "meta.json")) == old
+    searcher = Searcher(root, distributed=False)
+    assert searcher.count(None) == 300

@@ -245,3 +245,25 @@ def test_ivf_partitioned_index(emb, tmp_path):
     pa_ = a[["query_id", "vec_id"]].values.tolist()
     pb_ = b[["query_id", "vec_id"]].values.tolist()
     assert pa_ == pb_
+
+
+def test_sliding_window_matches_sql(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (pd.DataFrame(sliding_window_agg(ds, window_secs=3600, slide_secs=1800).take_all())
+           .sort_values(["event_type", "window_start_s"]).reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT event_type, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) top,
+                          CAST(floor(value*1000) AS BIGINT) v
+                   FROM read_parquet('{SF}/events.parquet')),
+        x AS (SELECT event_type, v, unnest([top, top - 1800]) ws FROM e)
+        SELECT event_type, ws window_start_s, count(*) n, sum(v) sum_value_x1e3
+        FROM x GROUP BY 1,2 ORDER BY 1,2""").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64", "sum_value_x1e3": "int64", "window_start_s": "int64"}),
+        want.astype({"n": "int64", "sum_value_x1e3": "int64", "window_start_s": "int64"}),
+        check_dtype=False,
+    )

@@ -58,3 +58,57 @@ def tumbling_window_agg(
             Sum(on="sum_value_x1e3", alias_name="sum_value_x1e3"),
         )
     )
+
+
+def sliding_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_secs: int = 3600,
+    slide_secs: int = 1800,
+):
+    """Sliding windows: every event lands in window_secs/slide_secs
+    overlapping windows (explode to (key, window_start) partials inside
+    map_batches, then the same pre-aggregated groupby).
+    → (key, window_start_s, n, sum_value_x1e3)."""
+    from ray.data.aggregate import Sum
+
+    assert window_secs % slide_secs == 0
+    k = window_secs // slide_secs
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        top = (ts // (slide_secs * 1_000_000)) * slide_secs
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        # explode: k rows per event, window starts top, top-S, ...
+        keys = np.repeat(keys, k)
+        vals = np.repeat(vals, k)
+        ws = np.repeat(top, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_secs, ts.size
+        )
+        order = np.lexsort((ws, keys))
+        keys, ws, vals = keys[order], ws[order], vals[order]
+        new = np.ones(keys.size, dtype=bool)
+        new[1:] = (keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.nonzero(new)[0]
+        bounds = np.concatenate([starts, [keys.size]])
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], type=pa.string()),
+                "window_start_s": pa.array(ws[starts]),
+                "n": pa.array(np.diff(bounds).astype(np.int64)),
+                "sum_value_x1e3": pa.array(np.add.reduceat(vals, starts)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start_s"])
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sum_value_x1e3", alias_name="sum_value_x1e3"),
+        )
+    )

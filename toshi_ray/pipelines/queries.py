@@ -367,6 +367,21 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from toshi_ray.ops.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = sliding_window_agg(ds, window_secs=3600, slide_secs=1800).take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"window_start_s": "int64", "n": "int64", "sum_value_x1e3": "int64"})
+        .sort_values(["event_type", "window_start_s"])
+        .reset_index(drop=True)
+    )
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import fingerprint
 
@@ -487,6 +502,21 @@ GROUP BY event_type, floor(epoch(ts) / 3600) * 3600
 ORDER BY event_type, window_start_s
 """
 
+    # sliding 1h windows every 30min: each event explodes to 2 window starts
+    sql["events_sliding"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS top,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+x AS (SELECT event_type, v, unnest([top, top - 1800]) AS ws FROM e)
+SELECT event_type, CAST(ws AS BIGINT) AS window_start_s,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_value_x1e3
+FROM x GROUP BY event_type, ws ORDER BY event_type, window_start_s
+"""
+
     sql["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text ORDER BY doc_id
@@ -577,5 +607,6 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
     "fingerprint": q_fingerprint,
 }

@@ -267,3 +267,27 @@ def test_sliding_window_matches_sql(ray_session):
         want.astype({"n": "int64", "sum_value_x1e3": "int64", "window_start_s": "int64"}),
         check_dtype=False,
     )
+
+
+def test_session_window_matches_sql(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.windows import session_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (pd.DataFrame(session_window_agg(ds, gap_secs=1800).take_all())
+           .sort_values(["user_id", "session_start_us"]).reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) ts_us,
+                          CAST(floor(value*1000) AS BIGINT) v
+                   FROM read_parquet('{SF}/events.parquet')),
+        m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                               OR ts_us - lag(ts_us) OVER w > 1800*1000000
+                             THEN 1 ELSE 0 END brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) sid FROM m)
+        SELECT user_id, min(ts_us) session_start_us, count(*) n, sum(v) sum_value_x1e3
+        FROM s GROUP BY user_id, sid ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False)

@@ -60,6 +60,66 @@ def tumbling_window_agg(
     )
 
 
+def session_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    gap_secs: int = 1800,
+):
+    """Session windows: a key's events split where the gap between
+    consecutive events (ordered by ts, id) exceeds ``gap_secs``.
+
+    Keys shuffle by a COARSE hash partition (64 groups, not one Ray
+    group per key); sessionization inside each partition is a single
+    vectorized pass (sort + cumsum of break flags).
+    → (key, session_start_us, n, sum_value_x1e3)."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "ts_us": t[ts_col].cast(pa.int64()),
+                id_col: t[id_col],
+                "v": pa.array(
+                    np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000.0).astype(
+                        np.int64
+                    )
+                ),
+                "part": pa.array((k % 64).astype(np.int64)),
+            }
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "ts_us", id_col])
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        v = g["v"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_secs * 1_000_000)
+        starts = np.nonzero(brk)[0]
+        bounds = np.concatenate([starts, [len(g)]])
+        return pd.DataFrame(
+            {
+                key_col: k[starts],
+                "session_start_us": ts[starts],
+                "n": np.diff(bounds).astype(np.int64),
+                "sum_value_x1e3": np.add.reduceat(v, starts),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
 def sliding_window_agg(
     ds,
     *,

@@ -382,6 +382,22 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from toshi_ray.ops.windows import session_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = session_window_agg(ds, gap_secs=1800).take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"user_id": "int64", "session_start_us": "int64",
+                   "n": "int64", "sum_value_x1e3": "int64"})
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import fingerprint
 
@@ -517,6 +533,33 @@ SELECT event_type, CAST(ws AS BIGINT) AS window_start_s,
 FROM x GROUP BY event_type, ws ORDER BY event_type, window_start_s
 """
 
+    # session windows (gaps-and-islands): break when the gap between a
+    # user's consecutive events exceeds 1800s, ordered by (ts, event_id)
+    sql["events_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_value_x1e3
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+"""
+
     sql["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text ORDER BY doc_id
@@ -608,5 +651,6 @@ QUERIES = {
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
+    "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,
 }

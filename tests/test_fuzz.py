@@ -71,3 +71,58 @@ def test_analyzer_matches_duckdb_tokenization(texts):
     ).fetchall()
     want = [r[1] for r in rows]
     assert per_doc == want
+
+
+# --- random VALID query trees execute without crashing the engine ---
+
+terms = st.sampled_from(["test", "document", "dockument", "1", "5", "zzz"])
+leaf = st.one_of(
+    st.builds(lambda t: {"term": {"test_text": t}}, terms),
+    st.builds(lambda a, b: {"phrase": {"test_text": {"terms": [a, b]}}}, terms, terms),
+    st.builds(lambda t, d: {"fuzzy": {"test_text": {"value": t, "distance": d}}},
+              terms, st.integers(0, 2)),
+    st.builds(lambda t: {"regex": {"test_text": t + ".*"}}, terms),
+    st.builds(lambda lo, hi: {"range": {"test_i64": {"gte": lo, "lte": hi}}},
+              st.integers(-3000, 3000), st.integers(-3000, 3000)),
+)
+bool_q = st.builds(
+    lambda m, s, n: {"bool": {"must": m, "should": s, "must_not": n}},
+    st.lists(leaf, max_size=3), st.lists(leaf, max_size=2), st.lists(leaf, max_size=2),
+)
+any_q = st.one_of(leaf, bool_q, st.none())
+
+
+@pytest.fixture(scope="module")
+def fuzz_searcher(ray_session):
+    import pyarrow as pa
+    import ray
+    import tempfile
+
+    from toshi_ray.pipelines.build import build_index
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.search import Searcher
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.uint64()),
+        "test_text": ["Test Document 1", "Test Dockument 2", "Test Duckiment 3",
+                      "Test Document 4", "Test Document 5"],
+        "test_i64": [2014, -2015, 2016, -2017, 2018],
+    })
+    root = tempfile.mkdtemp(prefix="toshi_fuzz_")
+    build_index(ray.data.from_arrow(tbl), Schema.build(
+        FieldDef("doc_id", "u64", fast=True), FieldDef("test_text", "text"),
+        FieldDef("test_i64", "i64", fast=True)), root)
+    return Searcher(root, distributed=False)
+
+
+@given(any_q, st.integers(1, 10))
+@settings(max_examples=120, deadline=None)
+def test_executor_total_on_valid_trees(fuzz_searcher, q, limit):
+    try:
+        r = fuzz_searcher.search({"query": q, "limit": limit})
+    except QueryError:
+        return
+    assert 0 <= r["hits"] <= limit
+    assert len(r["docs"]) == r["hits"]
+    scores = [d["score"] for d in r["docs"]]
+    assert scores == sorted(scores, reverse=True)

@@ -141,6 +141,31 @@ def test_build_is_resumable(ray_session):
     assert [s["name"] for s in m2["segments"]] == [s["name"] for s in m1["segments"]]
 
 
+def test_overwrite_rebuild_serves_fresh_postings(ray_session, tmp_path):
+    """overwrite=True must not republish stale segments: segment names
+    are keyed by (min_doc_id, num_docs) only, so a rebuild over CHANGED
+    text with the same doc-id layout would otherwise serve old postings."""
+    import pyarrow as pa
+    import ray
+
+    root = str(tmp_path / "ow")
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True), FieldDef("text", "text")
+    )
+    t1 = pa.table({"doc_id": pa.array([0, 1], pa.uint64()),
+                   "text": ["alpha beta", "alpha gamma"]})
+    build_index(ray.data.from_arrow(t1), schema, root)
+    assert Searcher(root, distributed=False).count(
+        {"query": {"term": {"text": "alpha"}}}) == 2
+
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.uint64()),
+                   "text": ["delta beta", "delta gamma"]})  # same layout, new text
+    build_index(ray.data.from_arrow(t2), schema, root, overwrite=True)
+    s = Searcher(root, distributed=False)
+    assert s.count({"query": {"term": {"text": "alpha"}}}) == 0
+    assert s.count({"query": {"term": {"text": "delta"}}}) == 2
+
+
 def test_blockmax_prunes_and_stays_exact(ray_session):
     """Skewed-tf corpus: the block-max path must skip decoding most
     blocks for a small k yet return exactly the exhaustive top-k."""

@@ -229,6 +229,43 @@ def test_error_range_negative_u64(searcher):  # range.rs:206-218
     assert str(e.value) == "Error Parsing Json: 'invalid value: integer `-1`, expected u64'"
 
 
+def test_error_nested_bool_golden():  # boolean.rs parse_queries golden string
+    with pytest.raises(QueryError) as e:
+        parse_query({"bool": {"must": [{"bool": {"must": []}}]}})
+    assert str(e.value) == "Error in query execution: 'Invalid type for boolean query'"
+
+
+def test_error_numeric_term_non_integer(searcher):
+    # executor totality: a non-integer value on a numeric field must be a
+    # QueryError, not a bare ValueError escaping from int()
+    with pytest.raises(QueryError) as e:
+        hits(searcher, {"term": {"test_i64": "abc"}})
+    assert "Invalid value for numeric field" in str(e.value)
+
+
+def test_error_range_on_date_field(ray_session, tmp_path):
+    # date is stored/fast but the reference's range path only builds
+    # i64/u64 ranges — must raise QueryError, not numpy UFuncTypeError
+    import ray
+
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("ts", "date", fast=True),
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.uint64()),
+            "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+        }
+    )
+    root = str(tmp_path / "dateidx")
+    build_index(ray.data.from_arrow(t), schema, root)
+    s = Searcher(root, distributed=False)
+    with pytest.raises(QueryError) as e:
+        s.search({"query": {"range": {"ts": {"gte": 0, "lte": 10}}}})
+    assert "Range queries are only supported for i64 and u64 fields" in str(e.value)
+
+
 def test_distributed_matches_local(searcher):
     sd = Searcher(searcher.index_root, distributed=True)
     for q in [

@@ -16,6 +16,16 @@ split — phrase queries see those gaps.
 
 Everything is vectorized: `pyarrow.compute` regex split + numpy offset
 arithmetic; no Python loop over rows or tokens.
+
+INTENTIONAL DIVERGENCE (documented, like the SQL-twin caveat): this
+implementation lowercases BEFORE splitting, while tantivy's chain
+splits first and lowercases last. The two differ only when Unicode
+case-folding changes the character class or byte length of a token —
+e.g. 'İ' folds to 'i' + combining U+0307, which then splits, or a
+token whose lowercase form crosses the 40-byte limit. On ASCII text
+(all test corpora, and the DuckDB oracle twin) the chains are
+byte-identical; we keep the fold-first order because it lets the whole
+batch run through two Arrow kernels with no per-token pass.
 """
 
 from __future__ import annotations

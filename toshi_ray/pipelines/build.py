@@ -123,10 +123,14 @@ def build_index(
     """
     os.makedirs(os.path.join(index_root, SEGMENTS_DIR), exist_ok=True)
     existing = load_manifest(index_root)
-    if existing is not None and not overwrite:
-        if existing.get("format") == FORMAT_VERSION:
+    if existing is not None:
+        if not overwrite and existing.get("format") == FORMAT_VERSION:
             return existing
-        # stale on-disk format → rebuild from scratch
+        # stale on-disk format OR explicit overwrite → rebuild from
+        # scratch. The rmtree matters for overwrite: segment dir names
+        # are keyed by (min_doc_id, num_docs) only, and write_segment
+        # skips existing dirs — without it a rebuild over changed text
+        # with the same doc-id layout would republish stale postings.
         import shutil
 
         shutil.rmtree(os.path.join(index_root, SEGMENTS_DIR), ignore_errors=True)

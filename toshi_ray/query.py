@@ -219,9 +219,10 @@ def parse_query(obj: Any) -> Any:
             for c in body.get(key, []):
                 sub = parse_query(c)
                 if isinstance(sub, (BoolQuery, RawQuery, AllQuery)):
-                    # reference rejects nested bool/raw/all (boolean.rs:72)
+                    # golden string: boolean.rs parse_queries rejects
+                    # nested bool/raw/all inside a clause
                     raise QueryError.execution(
-                        "Invalid query type in Bool query"
+                        "Invalid type for boolean query"
                     )
                 out.append(sub)
             return tuple(out)

@@ -363,7 +363,15 @@ class SegmentGroupScorer:
             if col not in dv.column_names:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             vals = dv[col]
-            target = int(node.value) if fdef.is_numeric else node.value
+            if fdef.is_numeric:
+                try:
+                    target = int(node.value)
+                except (TypeError, ValueError):
+                    raise QueryError.execution(
+                        f"Invalid value for numeric field '{node.field}': '{node.value}'"
+                    )
+            else:
+                target = node.value
             mask = pc.equal(vals, target).to_numpy(zero_copy_only=False)
             ids = reader.doc_ids()[mask].astype(np.uint64)
             return ids, np.ones(ids.size, np.float64)
@@ -400,7 +408,10 @@ class SegmentGroupScorer:
 
         if isinstance(node, RangeQuery):
             fdef = self._field_or_raise(node.field)
-            if not fdef.is_numeric:
+            # date is "numeric" for storage but the reference's range path
+            # (query/range.rs create_range_query) only builds i64/u64
+            # ranges — reject it cleanly instead of a numpy dtype error
+            if not fdef.is_numeric or fdef.type == "date":
                 raise QueryError.execution(
                     f"Range queries are only supported for i64 and u64 fields"
                 )

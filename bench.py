@@ -204,6 +204,30 @@ def run_once(build_only: bool = False) -> dict:
         t0 = time.perf_counter()
         merge_segments(index_root, bucket, hot_df_threshold=20_000, shard_span=20_000)
         queries["segment_merge_16runs"] = round(time.perf_counter() - t0, 3)
+
+        # same-shaped merge with ~1% of docs tombstoned: exercises the
+        # vectorized tombstone path; should stay within ~1.2x plain merge
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tomb_dir = os.path.join(index_root, "tombstones")
+        os.makedirs(tomb_dir, exist_ok=True)
+        ids = np.random.default_rng(0).choice(
+            N_PAGES, size=max(1, N_PAGES // 100), replace=False
+        )
+        pq.write_table(
+            pa.table({"doc_id": pa.array(np.sort(ids).astype(np.uint64))}),
+            os.path.join(tomb_dir, "bench.parquet"),
+        )
+        bucket2 = [
+            s["name"]
+            for s in _lm(index_root)["segments"]
+            if not s["name"].startswith("seg-merged")
+        ][:16]
+        t0 = time.perf_counter()
+        merge_segments(index_root, bucket2, hot_df_threshold=20_000, shard_span=20_000)
+        queries["segment_merge_16runs_tombstoned"] = round(time.perf_counter() - t0, 3)
         queries.update(bench_ops())
     shutil.rmtree(index_root, ignore_errors=True)
 

@@ -130,6 +130,80 @@ def test_delete_by_term(ray_session):
     gc_segments(root)
 
 
+def test_apply_tombstones_vectorized():
+    """The segmented-numpy tombstone path must drop exactly the
+    tombstoned docs from every posting row, keep positions of surviving
+    docs byte-exact, and recompute df/tf/block-skip metadata — including
+    on a schema with mixed positions/no-positions fields."""
+    import pyarrow as pa
+
+    from toshi_ray.pipelines.merge import apply_tombstones_to_postings
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.segments import (
+        build_segment_tables,
+        decode_posting_row,
+        decode_positions,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 300
+    words = [f"w{i:03d}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(5, 30))) for _ in range(n)]
+    tags = [" ".join(rng.choice(["a", "b", "c"], size=2)) for _ in range(n)]
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("text", "text"),
+        FieldDef("tags", "text", positions=False),
+    )
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.uint64)), "text": texts, "tags": tags}
+    )
+    postings, _, _, _ = build_segment_tables(tbl, schema)
+
+    def decode_all(p):
+        out = {}
+        for r in p.to_pylist():
+            ids, tfs = decode_posting_row(r)
+            posmap = None
+            if r["positions"] is not None:
+                pos, offs = decode_positions(r, tfs)
+                posmap = {
+                    int(i): pos[offs[j] : offs[j + 1]].tolist()
+                    for j, i in enumerate(ids)
+                }
+            out[(r["field"], r["term"], r["shard"])] = (ids, tfs, posmap, r)
+        return out
+
+    tombs = np.array([3, 57, 58, 123, 299], dtype=np.uint64)
+    out = apply_tombstones_to_postings(postings, tombs)
+    orig, new = decode_all(postings), decode_all(out)
+
+    exp_keys = set()
+    for k, (ids, tfs, posmap, _) in orig.items():
+        keep = ~np.isin(ids, tombs)
+        if not keep.any():
+            continue
+        exp_keys.add(k)
+        nids, ntfs, nposmap, row = new[k]
+        np.testing.assert_array_equal(nids, ids[keep])
+        np.testing.assert_array_equal(ntfs, tfs[keep])
+        assert row["df"] == int(keep.sum())
+        assert row["first_doc"] == int(ids[keep][0])
+        assert row["total_tf"] == int(tfs[keep].sum())
+        assert row["max_tf"] == int(tfs[keep].max())
+        lasts = np.frombuffer(row["block_last_doc"], np.uint64)
+        assert lasts[-1] == ids[keep][-1]
+        if posmap is not None:
+            assert nposmap == {int(i): posmap[int(i)] for i in ids[keep]}
+        else:
+            assert nposmap is None
+    assert set(new) == exp_keys
+
+    # rows with no overlapping doc range pass through untouched
+    far = np.array([10_000_000], dtype=np.uint64)
+    assert apply_tombstones_to_postings(postings, far).equals(postings)
+
+
 def test_build_is_resumable(ray_session):
     root = tempfile.mkdtemp(prefix="toshi_resume_")
     m1 = build_index(pages_dataset(300, parallelism=2), page_schema(), root,

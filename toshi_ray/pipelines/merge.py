@@ -100,27 +100,6 @@ _MERGED_SCHEMA = pa.schema(
 )
 
 
-def _block_meta(doc_ids, tfs):
-    """Recompute the per-block skip columns for one merged posting run."""
-    enc, boffs, last = codecs.encode_doc_ids_blocked(doc_ids)
-    lens = codecs.varint_byte_lengths(tfs)
-    cum = np.zeros(tfs.size + 1, dtype=np.int64)
-    np.cumsum(lens, out=cum[1:])
-    tf_offs = cum[codecs.block_offsets_for(doc_ids.size)]
-    bstarts = codecs.block_offsets_for(doc_ids.size)[:-1]
-    blk_max = (
-        np.maximum.reduceat(tfs, bstarts) if doc_ids.size else np.empty(0, np.uint64)
-    )
-    return {
-        "doc_ids": enc,
-        "block_doc_offsets": boffs.astype(np.int32).tobytes(),
-        "block_tf_offsets": tf_offs.astype(np.int32).tobytes(),
-        "block_last_doc": last.astype(np.uint64).tobytes(),
-        "block_max_tf": codecs.varint_encode(blk_max),
-        "n_blocks": len(bstarts),
-    }
-
-
 def _binary_parts(col: pa.Array, n: int):
     """(contiguous byte buffer, relative per-row byte offsets) of a
     LargeBinary column."""
@@ -275,45 +254,160 @@ def _binary_from_offsets_local(payload, byte_offsets):
 
 
 def apply_tombstones_to_postings(batch: pa.Table, tombs: np.ndarray) -> pa.Table:
-    """Vectorized-enough tombstone application for one postings batch."""
-    rows = batch.to_pylist()
-    out = []
-    for row in rows:
-        doc_ids = codecs.decode_doc_ids_blocked(row["doc_ids"], int(row["df"]))
-        tfs = codecs.varint_decode(row["tfs"])
-        keep = ~np.isin(doc_ids, tombs, assume_unique=True)
-        if keep.all():
-            out.append(row)
-            continue
-        if not keep.any():
-            continue
-        new = dict(row)
-        if row.get("positions") is not None:
-            gaps = codecs.varint_decode(row["positions"])
-            offs = np.zeros(tfs.size + 1, np.int64)
-            np.cumsum(tfs.astype(np.int64), out=offs[1:])
-            kidx = np.nonzero(keep)[0]
-            from toshi_ray.search import take_ranges
+    """Vectorized tombstone application for one postings batch.
 
-            kept_gaps = take_ranges(gaps, offs[kidx], (offs[kidx + 1] - offs[kidx]))
-            new["positions"] = codecs.varint_encode(kept_gaps)
-        doc_ids2, tfs2 = doc_ids[keep], tfs[keep]
-        bm = _block_meta(doc_ids2, tfs2)
-        new["doc_ids"] = bm["doc_ids"]
-        new["tfs"] = codecs.varint_encode(tfs2)
-        new["df"] = int(keep.sum())
-        new["first_doc"] = int(doc_ids2[0])
-        new["total_tf"] = int(tfs2.sum())
-        new["max_tf"] = int(tfs2.max())
-        new["block_max_tf"] = bm["block_max_tf"]
-        new["block_min_norm"] = bytes([min(row["block_min_norm"])]) * bm["n_blocks"]
-        new["block_doc_offsets"] = bm["block_doc_offsets"]
-        new["block_tf_offsets"] = bm["block_tf_offsets"]
-        new["block_last_doc"] = bm["block_last_doc"]
-        out.append(new)
-    if not out:
-        return batch.slice(0, 0)
-    return pa.Table.from_pylist(out, schema=batch.schema)
+    Reference semantics (`handle.rs:184-210`): deleted docs drop out of
+    every posting row; df/tf stats and block-skip metadata recompute.
+    Rows whose [first_doc, last_block_doc] range does not intersect the
+    (sorted) tombstone set pass through UNTOUCHED — the common case at
+    scale, where deletes hit a tiny doc-id range. Touched rows go
+    through one segmented varint decode + one segmented re-encode with
+    fresh 128-doc block restarts (no per-row Python loop).
+    """
+    from toshi_ray.search import take_ranges
+    from toshi_ray.segments import _block_starts
+
+    n = batch.num_rows
+    if n == 0 or tombs.size == 0:
+        return batch
+    batch = batch.combine_chunks()
+
+    # ---- range pre-filter: which rows CAN contain a tombstone? ----
+    first = batch["first_doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bld_big, bld_rel = _binary_parts(batch["block_last_doc"], n)
+    lasts_all = np.frombuffer(bld_big.tobytes(), np.uint64)
+    row_last = lasts_all[(bld_rel[1:] // 8) - 1]
+    pos_t = np.searchsorted(tombs, first)
+    hit = (pos_t < tombs.size) & (
+        tombs[np.minimum(pos_t, tombs.size - 1)] <= row_last
+    )
+    if not hit.any():
+        return batch
+    clean = batch.filter(pa.array(~hit))
+    sub = batch.filter(pa.array(hit)).combine_chunks()
+    m = sub.num_rows
+
+    # ---- one segmented decode of every touched row ----
+    df_rows = sub["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_offs = np.zeros(m + 1, np.int64)
+    np.cumsum(df_rows, out=row_offs[1:])
+    old_bstarts, _ = _block_starts(row_offs)
+    old_bounds = np.concatenate([old_bstarts, [row_offs[-1]]]).astype(np.int64)
+    doc_big, _ = _binary_parts(sub["doc_ids"], m)
+    doc_flat = codecs.segmented_delta_decode(codecs.varint_decode(doc_big), old_bounds)
+    tf_big, _ = _binary_parts(sub["tfs"], m)
+    tfs_flat = codecs.varint_decode(tf_big)
+
+    keep = ~np.isin(doc_flat, tombs)
+    kept_per_row = np.add.reduceat(keep, row_offs[:-1]).astype(np.int64)
+    if keep.all():  # range overlapped but no actual doc matched
+        return batch
+
+    # ---- positions: per-doc gap spans survive doc drops unchanged ----
+    pos_col = sub["positions"].combine_chunks()
+    if pos_col.null_count == 0:
+        has_pos_row = np.ones(m, bool)
+    elif pos_col.null_count == m:
+        has_pos_row = np.zeros(m, bool)
+    else:
+        has_pos_row = ~pos_col.is_null().to_numpy(zero_copy_only=False)
+    pos_big, _ = _binary_parts(pos_col, m)
+    pos_gaps_all = codecs.varint_decode(pos_big)
+    val_has_pos = np.repeat(has_pos_row, df_rows)
+    pos_counts = np.where(val_has_pos, tfs_flat.astype(np.int64), 0)
+    pos_offs = np.zeros(pos_counts.size + 1, np.int64)
+    np.cumsum(pos_counts, out=pos_offs[1:])
+
+    # ---- surviving rows / values ----
+    row_sel = np.nonzero(kept_per_row > 0)[0]
+    if row_sel.size == 0:
+        return clean
+    kidx = np.nonzero(keep)[0]
+    new_df = kept_per_row[row_sel]
+    new_row_offs = np.zeros(new_df.size + 1, np.int64)
+    np.cumsum(new_df, out=new_row_offs[1:])
+    doc_kept = doc_flat[keep]
+    tf_kept = tfs_flat[keep]
+
+    # ---- re-encode docs with fresh per-row 128-doc block restarts ----
+    new_bstarts, new_nblocks = _block_starts(new_row_offs)
+    new_bounds = np.concatenate([new_bstarts, [new_row_offs[-1]]]).astype(np.int64)
+    gaps2 = codecs.segmented_delta(doc_kept, new_bounds)
+    doc_payload, blk_bytes2 = codecs.segmented_varint_encode(gaps2, new_bounds)
+    blk_list_offs = np.zeros(new_df.size + 1, np.int64)
+    np.cumsum(new_nblocks, out=blk_list_offs[1:])
+    doc_byte_offs = blk_bytes2[blk_list_offs]
+
+    tf_payload = codecs.varint_encode(tf_kept)
+    tf_lens = codecs.varint_byte_lengths(tf_kept) if tf_kept.size else np.empty(0, np.int64)
+    tf_cum = np.zeros(tf_kept.size + 1, np.int64)
+    np.cumsum(tf_lens, out=tf_cum[1:])
+    tf_blk_bytes = tf_cum[new_bounds]
+    tf_row_offs = tf_cum[new_row_offs]
+
+    # ---- per-row block tables (relative i32 offsets + u64 last docs) ----
+    n_entries = new_nblocks + 1
+    ent_base = np.zeros(new_df.size + 1, np.int64)
+    np.cumsum(n_entries, out=ent_base[1:])
+    gather = np.repeat(blk_list_offs[:-1], n_entries) + (
+        np.arange(int(n_entries.sum()), dtype=np.int64)
+        - np.repeat(ent_base[:-1], n_entries)
+    )
+    rel_doc = blk_bytes2[gather] - np.repeat(blk_bytes2[blk_list_offs[:-1]], n_entries)
+    rel_tf = tf_blk_bytes[gather] - np.repeat(tf_blk_bytes[blk_list_offs[:-1]], n_entries)
+    blk_last = doc_kept[new_bounds[1:] - 1]
+    blk_max = np.maximum.reduceat(tf_kept, new_bstarts).astype(np.uint64)
+    bm_payload, bm_boffs = codecs.segmented_varint_encode(blk_max, blk_list_offs)
+
+    # ---- block_min_norm: conservative old-row min, repeated per block ----
+    bn_big, bn_rel = _binary_parts(sub["block_min_norm"], m)
+    row_min = np.full(m, 255, np.uint8)
+    nz = np.diff(bn_rel) > 0
+    if bn_big.size:
+        row_min[nz] = np.minimum.reduceat(bn_big, bn_rel[:-1][nz])
+    bn_payload = np.repeat(row_min[row_sel], new_nblocks).tobytes()
+
+    # ---- positions payload for kept docs ----
+    kept_pos_gaps = take_ranges(pos_gaps_all, pos_offs[:-1][kidx], pos_counts[kidx])
+    kept_pos_per_row = np.add.reduceat(pos_counts * keep, row_offs[:-1])[row_sel]
+    new_pos_offs = np.zeros(row_sel.size + 1, np.int64)
+    np.cumsum(kept_pos_per_row, out=new_pos_offs[1:])
+    pos_payload, pos_boffs = codecs.segmented_varint_encode(kept_pos_gaps, new_pos_offs)
+    pos_arr = _binary_from_offsets_local(pos_payload, pos_boffs)
+    if not has_pos_row.all():
+        pos_arr = pa.compute.if_else(
+            pa.array(has_pos_row[row_sel]), pos_arr,
+            pa.nulls(row_sel.size, type=pa.large_binary()),
+        )
+
+    take = pa.array(row_sel)
+    rebuilt = pa.table(
+        {
+            "field": sub["field"].take(take),
+            "term": sub["term"].take(take),
+            "shard": sub["shard"].take(take),
+            "df": pa.array(new_df.astype(np.uint32)),
+            "first_doc": pa.array(doc_kept[new_row_offs[:-1]].astype(np.uint64)),
+            "total_tf": pa.array(np.add.reduceat(tf_kept, new_row_offs[:-1]).astype(np.uint64)),
+            "max_tf": pa.array(np.maximum.reduceat(tf_kept, new_row_offs[:-1]).astype(np.uint32)),
+            "doc_ids": _binary_from_offsets_local(doc_payload, doc_byte_offs),
+            "tfs": _binary_from_offsets_local(tf_payload, tf_row_offs),
+            "positions": pos_arr,
+            "block_max_tf": _binary_from_offsets_local(bm_payload, bm_boffs),
+            "block_min_norm": _binary_from_offsets_local(bn_payload, blk_list_offs),
+            "block_doc_offsets": _binary_from_offsets_local(
+                rel_doc.astype(np.int32).tobytes(), ent_base * 4
+            ),
+            "block_tf_offsets": _binary_from_offsets_local(
+                rel_tf.astype(np.int32).tobytes(), ent_base * 4
+            ),
+            "block_last_doc": _binary_from_offsets_local(
+                blk_last.astype(np.uint64).tobytes(), blk_list_offs * 8
+            ),
+        }
+    )
+    rebuilt = rebuilt.select(batch.column_names).cast(batch.schema)
+    return pa.concat_tables([clean, rebuilt])
 
 
 def merge_segments(

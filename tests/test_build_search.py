@@ -130,6 +130,29 @@ def test_delete_by_term(ray_session):
     gc_segments(root)
 
 
+def test_fuzzy_matched_variant_count_scoring(ray_session, tmp_path):
+    """A doc containing TWO distance-1 variants scores 2.0 (tantivy 0.19
+    fuzzy scoring = matched-term count, SURVEY.md §2.5)."""
+    import pyarrow as pa
+    import ray
+
+    schema = Schema.build(FieldDef("doc_id", "u64", fast=True), FieldDef("text", "text"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.uint64()),
+            "text": ["spark spork", "spark only here"],
+        }
+    )
+    root = str(tmp_path / "fz")
+    build_index(ray.data.from_arrow(t), schema, root)
+    s = Searcher(root, distributed=False)
+    r = s.search(
+        {"query": {"fuzzy": {"text": {"value": "spark", "distance": 1,
+                                      "transposition": False}}}}
+    )
+    assert {d["doc"]["doc_id"]: d["score"] for d in r["docs"]} == {0: 2.0, 1: 1.0}
+
+
 def test_apply_tombstones_vectorized():
     """The segmented-numpy tombstone path must drop exactly the
     tombstoned docs from every posting row, keep positions of surviving

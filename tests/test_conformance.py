@@ -144,6 +144,67 @@ def test_raw_query(searcher):  # search.rs:127-138
     assert r["docs"][0]["doc"]["test_text"] == "Test Duckiment 3"
 
 
+def test_raw_parens_grouping(searcher):
+    r = hits(searcher, {"raw": "(dockument OR duckiment)"})
+    assert sorted(d["doc"]["doc_id"] for d in r["docs"]) == [1, 2]
+    r = hits(searcher, {"raw": "document AND (dockument OR 1)"})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [0]
+    r = hits(searcher, {"raw": "document NOT 1"})
+    assert sorted(d["doc"]["doc_id"] for d in r["docs"]) == [3, 4]
+
+
+def test_raw_range(searcher):
+    r = hits(searcher, {"raw": "test_i64:[2014 TO 2016]"})
+    assert sorted(d["doc"]["doc_id"] for d in r["docs"]) == [0, 2]
+    assert hits(searcher, {"raw": "test_i64:{2014 TO 2016}"})["hits"] == 0
+    r = hits(searcher, {"raw": "test_u64:[12 TO *]"})
+    assert sorted(d["doc"]["doc_id"] for d in r["docs"]) == [2, 3, 4]
+    # combined with a text clause at the same level
+    r = hits(searcher, {"raw": "document AND test_i64:[2014 TO 2016]"})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [0]
+
+
+def test_raw_boost_multiplies_score(searcher):
+    import math
+
+    base = hits(searcher, {"raw": "test_text:document"})
+    boosted = hits(searcher, {"raw": "test_text:document^2"})
+    assert [d["doc"]["doc_id"] for d in boosted["docs"]] == [
+        d["doc"]["doc_id"] for d in base["docs"]
+    ]
+    for b, a in zip(boosted["docs"], base["docs"]):
+        assert abs(b["score"] - 2.0 * a["score"]) < 1e-12
+    expected = math.log(1 + 2.5 / 3.5)
+    assert abs(base["docs"][0]["score"] - expected) < 1e-9
+
+
+def test_raw_star_matches_all(searcher):
+    assert hits(searcher, {"raw": "*"})["hits"] == 5
+
+
+def test_raw_negative_numeric_term(searcher):
+    r = hits(searcher, {"raw": "test_i64:-2015"})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [1]
+
+
+def test_raw_new_syntax_errors(searcher):
+    for bad in ["(document", "document)", "test_i64:[1 TO", "()", "AND", "doc*ment"]:
+        with pytest.raises(QueryError) as e:
+            hits(searcher, {"raw": bad})
+        assert str(e.value) == f"Error in Index: 'Syntax Error: {bad}'", bad
+
+
+def test_fuzzy_scores_matched_variant_count(searcher):
+    # tantivy 0.19: fuzzy scores matched-term count. "document" ~1 matches
+    # variants {document, dockument}; each doc contains exactly one → 1.0
+    r = hits(
+        searcher,
+        {"fuzzy": {"test_text": {"value": "document", "distance": 1, "transposition": False}}},
+    )
+    assert r["hits"] == 4
+    assert all(d["score"] == 1.0 for d in r["docs"])
+
+
 def test_term_not_analyzed_at_query_time(searcher):  # mod.rs:216-222 quirk
     assert hits(searcher, {"term": {"test_text": "Document"}})["hits"] == 0
 

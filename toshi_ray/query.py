@@ -111,6 +111,16 @@ class AllQuery:
 
 
 @dataclass(frozen=True)
+class BoostQuery:
+    """Score multiplier from the raw grammar's `term^2` / `(...)^2`
+    (tantivy QueryParser boost semantics — only reachable via raw
+    queries; the JSON DSL has no boost leaf)."""
+
+    query: Any
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RawQuery:
     query: str
 
@@ -248,87 +258,201 @@ def parse_query(obj: Any) -> Any:
 # Raw (Lucene-ish) query parser — reference routes these through tantivy's
 # QueryParser over all schema fields (`toshi-server/src/handle.rs:115-119`).
 # Unlike {"term": ...}, raw text IS analyzed with the field's tokenizer.
+#
+# Supported surface (tantivy 0.19 QueryParser grammar):
+#   field:term    field:"a phrase"    bare terms over all text fields
+#   +must  -must_not  NOT x           AND / OR connectors
+#   ( ... ) grouping (recursive)      * match-all
+#   field:[1 TO 5]  field:{1 TO 5}    raw numeric ranges, * = open bound
+#   term^2  "phrase"^2  (...)^2       score boost (multiplicative)
+# AND anywhere in a sequence makes that level conjunctive (bare items
+# become musts), mirroring the flat-occur combination tantivy's parser
+# produces; parens reset the rule per level. Anything else is the
+# reference's golden syntax error (`handlers/search.rs:83-90`).
 # ---------------------------------------------------------------------------
 
 import re as _re
 
-_RAW_CLAUSE = _re.compile(
-    r"""\s*(?P<occur>[+-])?
-        (?:(?P<field>[A-Za-z_][\w.]*):)?
-        (?:"(?P<phrase>[^"]*)"|(?P<term>[^\s()"]+))\s*""",
+_TOKEN_RE = _re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+      | (?P<quoted>"(?P<phrase>[^"]*)")
+      | (?P<range>[\[\{]\s*(?P<lo>\*|-?\d+)\s+TO\s+(?P<hi>\*|-?\d+)\s*[\]\}])
+      | (?P<occur>[+-])
+      | (?P<word>[\w.]+)
+      | (?P<star>\*)
+      | (?P<colon>:)
+    """,
     _re.VERBOSE,
 )
-_RAW_OK = _re.compile(r'^[\s\w.:+\-"]*$')
 
 
-def parse_raw(raw: str, schema) -> Any:
-    """Desugar a raw query string to a Term/Phrase/Bool tree.
+def _tokenize_raw(raw: str) -> list[tuple[str, Any]]:
+    toks: list[tuple[str, Any]] = []
+    pos = 0
+    prev_word_end = -1
+    while pos < len(raw):
+        m = _TOKEN_RE.match(raw, pos)
+        if not m:
+            raise QueryError.index(f"Syntax Error: {raw}")
+        if m.group("star") and (
+            m.start() == prev_word_end  # doc* — wildcards are not supported
+            or (m.end() < len(raw) and (raw[m.end()].isalnum() or raw[m.end()] in "_."))
+        ):
+            raise QueryError.index(f"Syntax Error: {raw}")
+        if m.group("word"):
+            prev_word_end = m.end()
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        if m.group("lparen"):
+            toks.append(("LP", None))
+        elif m.group("rparen"):
+            toks.append(("RP", None))
+        elif m.group("boost"):
+            toks.append(("BOOST", float(m.group("bval"))))
+        elif m.group("quoted") is not None:
+            toks.append(("PHRASE", m.group("phrase")))
+        elif m.group("range"):
+            linc = raw[m.start("range")] == "["
+            hinc = raw[m.end("range") - 1] == "]"
+            toks.append(("RANGE", (m.group("lo"), m.group("hi"), linc, hinc)))
+        elif m.group("occur"):
+            toks.append(("OCCUR", m.group("occur")))
+        elif m.group("word"):
+            toks.append(("WORD", m.group("word")))
+        elif m.group("star"):
+            toks.append(("STAR", None))
+        else:
+            toks.append(("COLON", None))
+    return toks
 
-    Supported surface: `field:term`, `field:"a phrase"`, `+`/`-` occurs,
-    AND/OR connectors, bare terms over all indexed text fields. Anything
-    else is the reference's golden syntax error
-    (`handlers/search.rs:83-90`).
-    """
+
+def _analyzed_node(fdef, text: str):
+    """Analyze raw text with the field's tokenizer → Term/Phrase/None."""
     from toshi_ray.analyzer import get_analyzer
 
-    if not _RAW_OK.match(raw) or raw.count('"') % 2 == 1:
+    if not fdef.is_text:
+        return TermQuery(fdef.name, text)
+    t = get_analyzer(fdef.tokenizer).tokens(text)
+    if not t:
+        return None
+    return TermQuery(fdef.name, t[0]) if len(t) == 1 else PhraseQuery(fdef.name, tuple(t))
+
+
+def _multi_field_node(text: str, schema, raw: str):
+    targets = schema.text_fields
+    if not targets:
         raise QueryError.index(f"Syntax Error: {raw}")
+    per_field = [n for fdef in targets if (n := _analyzed_node(fdef, text)) is not None]
+    if not per_field:
+        return None
+    return per_field[0] if len(per_field) == 1 else BoolQuery(should=tuple(per_field))
 
-    pos = 0
-    items: list[tuple[str, Any]] = []  # (occur, node)
-    conj_all = False
-    while pos < len(raw):
-        m = _RAW_CLAUSE.match(raw, pos)
-        if not m or m.end() == pos:
-            if raw[pos:].strip():
-                raise QueryError.index(f"Syntax Error: {raw}")
+
+def _field_payload(field: str, toks, i: int, schema, raw: str):
+    """Parse what follows `field:` → (node-or-None, next index)."""
+    fdef = schema.field(field)
+    if fdef is None:
+        raise QueryError.execution(f"Unknown field: {field}")
+    if not fdef.indexed:
+        # golden: handlers/search.rs:93-101
+        raise QueryError.index(f"The field '{field}' is not declared as indexed")
+    if i >= len(toks):
+        raise QueryError.index(f"Syntax Error: {raw}")
+    kind, val = toks[i]
+    if kind == "RANGE":
+        lo, hi, linc, hinc = val
+        b = {"gte": None, "lte": None, "gt": None, "lt": None}
+        if lo != "*":
+            b["gte" if linc else "gt"] = int(lo)
+        if hi != "*":
+            b["lte" if hinc else "lt"] = int(hi)
+        if all(v is None for v in b.values()):
+            raise QueryError.execution("Range query must have at least one bound")
+        return RangeQuery(field=field, **b), i + 1
+    if kind == "PHRASE":
+        return _analyzed_node(fdef, val), i + 1
+    if kind == "OCCUR" and val == "-" and i + 1 < len(toks) and toks[i + 1][0] == "WORD":
+        # negative numeric literal, e.g. test_i64:-2015
+        return _analyzed_node(fdef, "-" + toks[i + 1][1]), i + 2
+    if kind == "WORD":
+        return _analyzed_node(fdef, val), i + 1
+    raise QueryError.index(f"Syntax Error: {raw}")
+
+
+def _parse_factor(toks, i: int, schema, raw: str):
+    kind, val = toks[i]
+    if kind == "LP":
+        node, i = _parse_seq(toks, i + 1, schema, raw)
+        if i >= len(toks) or toks[i][0] != "RP":
+            raise QueryError.index(f"Syntax Error: {raw}")
+        i += 1
+    elif kind == "WORD" and i + 1 < len(toks) and toks[i + 1][0] == "COLON":
+        node, i = _field_payload(val, toks, i + 2, schema, raw)
+    elif kind == "WORD":
+        node = _multi_field_node(val, schema, raw)
+        i += 1
+    elif kind == "PHRASE":
+        node = _multi_field_node(val, schema, raw)
+        i += 1
+    elif kind == "STAR":
+        node, i = AllQuery(), i + 1
+    else:
+        raise QueryError.index(f"Syntax Error: {raw}")
+    if i < len(toks) and toks[i][0] == "BOOST":
+        if node is not None:
+            node = BoostQuery(query=node, boost=toks[i][1])
+        i += 1
+    return node, i
+
+
+def _parse_seq(toks, i: int, schema, raw: str):
+    """Parse items until `)` or end; AND at this level → bare items
+    become musts (matching the pre-grouping flat-occur behavior)."""
+    items: list[tuple[str, Any]] = []
+    conj = False
+    pending: str | None = None
+    while i < len(toks):
+        kind, val = toks[i]
+        if kind == "RP":
             break
-        pos = m.end()
-        tok = m.group("term")
-        if tok in ("AND", "OR") and not m.group("field"):
-            conj_all = conj_all or tok == "AND"
+        if (
+            kind == "WORD"
+            and val in ("AND", "OR", "NOT")
+            and pending is None
+            and not (i + 1 < len(toks) and toks[i + 1][0] == "COLON")
+        ):
+            if val == "AND":
+                conj = True
+            elif val == "NOT":
+                pending = "-"
+            i += 1
             continue
-        field = m.group("field")
-        text = m.group("phrase") if m.group("phrase") is not None else tok
-        occur = m.group("occur") or "?"
-
-        if field is not None:
-            fdef = schema.field(field)
-            if fdef is None:
-                raise QueryError.execution(f"Unknown field: {field}")
-            if not fdef.indexed:
-                # golden: handlers/search.rs:93-101
-                raise QueryError.index(
-                    f"The field '{field}' is not declared as indexed"
-                )
-            targets = [fdef]
-        else:
-            targets = schema.text_fields
-            if not targets:
-                raise QueryError.index(f"Syntax Error: {raw}")
-
-        per_field = []
-        for fdef in targets:
-            if fdef.is_text:
-                toks = get_analyzer(fdef.tokenizer).tokens(text)
-                if len(toks) == 0:
-                    continue
-                node = TermQuery(fdef.name, toks[0]) if len(toks) == 1 else PhraseQuery(
-                    fdef.name, tuple(toks)
-                )
-            else:
-                node = TermQuery(fdef.name, text)
-            per_field.append(node)
-        if not per_field:
+        if kind == "OCCUR":
+            pending = val
+            i += 1
             continue
-        node = per_field[0] if len(per_field) == 1 else BoolQuery(should=tuple(per_field))
-        items.append((occur, node))
-
+        node, i = _parse_factor(toks, i, schema, raw)
+        if node is not None:  # analysis may drop a clause (all-stop tokens)
+            items.append((pending or "?", node))
+        pending = None
     if not items:
         raise QueryError.index(f"Syntax Error: {raw}")
     if len(items) == 1 and items[0][0] in ("?", "+"):
-        return items[0][1]
-    must = tuple(n for o, n in items if o == "+" or (o == "?" and conj_all))
+        return items[0][1], i
+    must = tuple(n for o, n in items if o == "+" or (o == "?" and conj))
     must_not = tuple(n for o, n in items if o == "-")
-    should = tuple(n for o, n in items if o == "?" and not conj_all)
-    return BoolQuery(must=must, must_not=must_not, should=should)
+    should = tuple(n for o, n in items if o == "?" and not conj)
+    return BoolQuery(must=must, must_not=must_not, should=should), i
+
+
+def parse_raw(raw: str, schema) -> Any:
+    """Desugar a raw query string to a Term/Phrase/Range/Bool/Boost tree."""
+    toks = _tokenize_raw(raw)
+    node, i = _parse_seq(toks, 0, schema, raw)
+    if i != len(toks):  # stray ')'
+        raise QueryError.index(f"Syntax Error: {raw}")
+    return node

@@ -16,10 +16,12 @@ Scoring semantics (tantivy 0.19 as configured by Toshi, SURVEY.md §2.5):
     score   = idf * (k1+1) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
     k1=1.2, b=0.75; dl = byte-quantized fieldnorm, avgdl from exact
     token totals; phrase queries use Σ idf of their terms and the
-    phrase frequency; range/all/regex/fuzzy score a constant 1.0
-    (fuzzy/regex are automaton queries → const scorer); bool sums its
-    scoring clauses. Tie-break: (score desc, doc_id asc) — doc ids are
-    insertion-ordered (SURVEY.md §2.2 T4).
+    phrase frequency; range/all/regex score a constant 1.0 (regex is an
+    automaton query → const scorer); fuzzy scores the matched-VARIANT
+    count per doc (tantivy 0.19 semantics, SURVEY.md §2.5); bool sums
+    its scoring clauses; `term^2` raw boosts multiply. Tie-break:
+    (score desc, doc_id asc) — doc ids are insertion-ordered
+    (SURVEY.md §2.2 T4).
 
 Scorers run as Ray actors (one per segment group — the stateful stage
 holding postings/norms, SURVEY.md §7.2); a local in-process mode exists
@@ -42,6 +44,7 @@ from toshi_ray.fieldnorm import id_to_fieldnorm
 from toshi_ray.query import (
     AllQuery,
     BoolQuery,
+    BoostQuery,
     FuzzyQuery,
     PhraseQuery,
     QueryError,
@@ -403,6 +406,12 @@ class SegmentGroupScorer:
             if not matched:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             parts = [self._postings(reader, node.field, t)[0] for t in matched]
+            if isinstance(node, FuzzyQuery):
+                # tantivy 0.19 fuzzy scoring: matched-VARIANT count per doc
+                # (SURVEY.md §2.5) — a doc containing 2 edit-distance
+                # variants scores 2.0
+                ids, counts = np.unique(np.concatenate(parts), return_counts=True)
+                return ids, counts.astype(np.float64)
             ids = np.unique(np.concatenate(parts))
             return ids, np.ones(ids.size, np.float64)  # const scorer (automaton query)
 
@@ -437,6 +446,10 @@ class SegmentGroupScorer:
 
         if isinstance(node, BoolQuery):
             return self._eval_bool(node, reader, stats)
+
+        if isinstance(node, BoostQuery):
+            ids, scores = self._eval(node.query, reader, stats)
+            return ids, scores * node.boost
 
         raise QueryError.execution(f"Unsupported query node: {type(node).__name__}")
 
@@ -638,6 +651,8 @@ def _collect_term_stats_needs(node, schema: Schema) -> list[tuple[str, str]]:
     elif isinstance(node, BoolQuery):
         for sub in (*node.must, *node.should, *node.must_not):
             out.extend(_collect_term_stats_needs(sub, schema))
+    elif isinstance(node, BoostQuery):
+        out.extend(_collect_term_stats_needs(node.query, schema))
     return out
 
 

@@ -130,6 +130,37 @@ def test_delete_by_term(ray_session):
     gc_segments(root)
 
 
+def test_size_aware_postings_cache(ray_session):
+    """SegmentReader defaults to caching small segments but must serve
+    IDENTICAL results through the parquet-pushdown path chosen for
+    over-threshold segments (cache_max_bytes=0 forces it)."""
+    from toshi_ray.pipelines.build import load_manifest
+    from toshi_ray.segments import SegmentReader
+    import os
+
+    root = tempfile.mkdtemp(prefix="toshi_cache_")
+    build_index(pages_dataset(400, parallelism=2), page_schema(), root,
+                docs_per_segment=400)
+    seg = load_manifest(root)["segments"][0]
+    seg_dir = os.path.join(root, "segments", seg["name"])
+
+    r_auto = SegmentReader(seg_dir)
+    assert r_auto.cache_postings is True  # tiny segment → cached
+    r_push = SegmentReader(seg_dir, cache_max_bytes=0)
+    assert r_push.cache_postings is False  # over threshold → pushdown
+
+    key = [("field", "ascending"), ("term", "ascending"),
+           ("shard", "ascending"), ("first_doc", "ascending")]
+    for terms in (["the"], ["the", "w00042"], ["missingterm"]):
+        a = r_auto.postings_for_terms("text", terms).sort_by(key)
+        b = r_push.postings_for_terms("text", terms).sort_by(key)
+        assert a.equals(b), terms
+    tkey = [("field", "ascending"), ("term", "ascending"), ("df", "ascending")]
+    assert r_auto.term_dict("text").sort_by(tkey).equals(
+        r_push.term_dict("text").sort_by(tkey)
+    )
+
+
 def test_fuzzy_matched_variant_count_scoring(ray_session, tmp_path):
     """A doc containing TWO distance-1 variants scores 2.0 (tantivy 0.19
     fuzzy scoring = matched-term count, SURVEY.md §2.5)."""

@@ -463,11 +463,16 @@ def merge_segments(
         part = (_mix(th ^ shard_out.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
         return batch.append_column("part", pa.array(part))
 
+    # NOTE: no global sort after the partition merge — each partition's
+    # output is already (field, term, shard)-sorted internally, so
+    # parquet row-group stats prune term lookups per file, and readers
+    # normalize per-term shard order by first_doc (shards partition
+    # disjoint doc ranges). A trailing .sort() here would be a second
+    # all-to-all over the full merged postings for nothing.
     merged = (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_merge_partition, batch_format="pyarrow")
-        .sort(["field", "term", "shard"])
     )
 
     new_name = f"seg-merged-{uuid.uuid4().hex[:12]}"

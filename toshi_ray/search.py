@@ -269,10 +269,17 @@ class SegmentGroupScorer:
         return fdef
 
     def _postings(self, reader: SegmentReader, field: str, term: str):
-        """Concatenated (doc_ids, tfs, rows) across hot-term shards."""
+        """Concatenated (doc_ids, tfs, rows) across hot-term shards.
+
+        Shard rows are ordered by first_doc (shards partition disjoint
+        doc ranges) so the concatenation is globally doc-id sorted
+        regardless of on-disk row order — merged postings are only
+        sorted WITHIN each shuffle partition file."""
         tbl = reader.postings_for_terms(field, [term])
         if tbl.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64), []
+        if tbl.num_rows > 1:
+            tbl = tbl.sort_by("first_doc")
         rows = tbl.to_pylist()
         parts = [codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows]
         tf_parts = [codecs.varint_decode(r["tfs"]) for r in rows]
@@ -471,6 +478,8 @@ class SegmentGroupScorer:
             tbl = reader.postings_for_terms(node.field, [t])
             if tbl.num_rows == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
+            if tbl.num_rows > 1:
+                tbl = tbl.sort_by("first_doc")  # shard order = doc order
             rows = tbl.to_pylist()
             ids = np.concatenate(
                 [codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows]

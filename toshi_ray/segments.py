@@ -335,6 +335,9 @@ def write_segment(
     return meta
 
 
+POSTINGS_CACHE_MAX_BYTES = 256 << 20  # above this, pushdown instead of caching
+
+
 class SegmentReader:
     """Lazy reader over one segment directory.
 
@@ -344,19 +347,37 @@ class SegmentReader:
     (the scorer-actor state, SURVEY.md §7.2).
     """
 
-    def __init__(self, seg_dir: str, cache_postings: bool = True):
+    def __init__(
+        self,
+        seg_dir: str,
+        cache_postings: bool | None = None,
+        cache_max_bytes: int = POSTINGS_CACHE_MAX_BYTES,
+    ):
         """``cache_postings`` keeps the segment's postings table + a
         sorted (field, term) index in the reader after first touch —
-        the scorer-actor state (SURVEY.md §7.2). For segments larger
-        than a worker's heap set it False to fall back to parquet
-        predicate pushdown per query."""
+        the scorer-actor state (SURVEY.md §7.2). Default (None) chooses
+        by on-disk postings size: segments above ``cache_max_bytes``
+        fall back to parquet predicate pushdown per query so a scorer
+        actor never pulls a whole over-heap segment into memory."""
         self.dir = seg_dir
         with open(os.path.join(seg_dir, META_FILE)) as f:
             self.meta = json.load(f)
+        if cache_postings is None:
+            cache_postings = self._postings_bytes() <= cache_max_bytes
         self.cache_postings = cache_postings
         self._docvalues: pa.Table | None = None
         self._postings_all: pa.Table | None = None
         self._term_index: dict | None = None  # field -> (sorted terms np, row idx np)
+
+    def _postings_bytes(self) -> int:
+        p = self._path(POSTINGS_FILE)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
 
     def _path(self, fname: str) -> str:
         """A segment part is a single file (fresh build) or a directory

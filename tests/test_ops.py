@@ -291,3 +291,159 @@ def test_session_window_matches_sql(ray_session):
         FROM s GROUP BY user_id, sid ORDER BY 1, 2""").df()
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False)
+
+
+# ---- round-2 additions: bucket caps, vectorized jaccard, sql hashes ----
+
+def test_minhash_skew_corpus_capped_star(ray_session, caplog):
+    """1k identical docs land in one LSH bucket; the cap must prevent
+    the O(n²) blowup while keeping all docs in ONE connected component
+    (star pairing), and must be logged, never silent."""
+    import logging
+
+    import ray.data
+
+    from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+    n = 1000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": ["identical content repeated many times over " * 3] * n})
+    with caplog.at_level(logging.WARNING, logger="toshi_ray.dedup"):
+        pairs = minhash_lsh_pairs(
+            ray.data.from_arrow(t), threshold=0.3, num_perm=16, bands=4,
+            bucket_cap=64,
+        ).take_all()
+    # union-find: all docs must connect through the star representative
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(int(r["id_a"]))] = find(int(r["id_b"]))
+    assert len({find(i) for i in range(n)}) == 1
+    assert len(pairs) < n * 8  # star-bounded, nowhere near n²/2
+    # the oversized-bucket warning fires inside Ray workers (visible in
+    # their logs); assert the logging contract in-process instead
+    from toshi_ray.ops.dedup import _pair_index
+
+    with caplog.at_level(logging.WARNING, logger="toshi_ray.dedup"):
+        ia, ib = _pair_index(100, 64)
+    assert ia.size == 99 and (ia == 0).all()
+    assert any("exceeds cap" in r.message for r in caplog.records)
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    """Vectorized inverted-shingle jaccard == naive tuple-set jaccard."""
+    import ray.data
+
+    from toshi_ray.analyzer import DefaultAnalyzer
+    from toshi_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(6, 25))) for _ in range(40)]
+    buckets = [f"s{i % 3}" for i in range(40)]
+    t = pa.table({"doc_id": pa.array(np.arange(40), pa.int64()),
+                  "text": texts, "source": buckets})
+    got = pd.DataFrame(
+        ngram_jaccard_pairs(ray.data.from_arrow(t), "source", threshold=0.05).take_all()
+    )
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True) if len(got) else got
+
+    an = DefaultAnalyzer()
+    sets = []
+    for tx in texts:
+        toks = an.tokens(tx)
+        sets.append({tuple(toks[i:i + 3]) for i in range(len(toks) - 2)})
+    rows = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if buckets[i] != buckets[j]:
+                continue
+            u = len(sets[i] | sets[j])
+            jac = len(sets[i] & sets[j]) / u if u else 0.0
+            if jac >= 0.05:
+                rows.append((i, j, jac))
+    want = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    assert len(got) == len(want)
+    if len(want):
+        np.testing.assert_array_equal(got["id_a"].to_numpy(), want["id_a"].to_numpy())
+        np.testing.assert_array_equal(got["id_b"].to_numpy(), want["id_b"].to_numpy())
+        np.testing.assert_allclose(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
+
+
+def test_ngram_jaccard_verify_pairs(ray_session):
+    """The LSH-candidate verify stage computes exact jaccard for an
+    explicit pair list (minhash → verify composition)."""
+    import ray.data
+
+    from toshi_ray.analyzer import DefaultAnalyzer
+    from toshi_ray.ops.dedup import ngram_jaccard_verify_pairs
+
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "the quick brown fox jumps over the sleepy dog again and again",
+             "entirely different content with no shared trigram phrases at all"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts})
+    pairs = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]})
+    out = ngram_jaccard_verify_pairs(ray.data.from_arrow(t), pairs)
+
+    an = DefaultAnalyzer()
+    sets = [
+        {tuple(an.tokens(tx)[i:i + 3]) for i in range(len(an.tokens(tx)) - 2)}
+        for tx in texts
+    ]
+    for _, r in out.iterrows():
+        a, b = sets[int(r["id_a"])], sets[int(r["id_b"])]
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 1e-12
+
+
+def test_embedding_near_dup_axis_planes_exact(ray_session):
+    """Partitioned embedding near-dup == direct numpy same-bucket +
+    cosine>=threshold check (axis planes are fully deterministic)."""
+    import ray.data
+
+    from toshi_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    n, d = 200, 16
+    v = rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(v.reshape(-1)), d)})
+    th, npl = 0.30, 4
+    got = pd.DataFrame(
+        embedding_near_dup_pairs(
+            ray.data.from_arrow(t), threshold=th, n_planes=npl, planes="axis"
+        ).take_all()
+    )
+    gk = set(zip(got["id_a"].astype(int), got["id_b"].astype(int))) if len(got) else set()
+
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    bucket = ((vn[:, :npl] > 0) @ (1 << np.arange(npl))).astype(int)
+    sims = vn @ vn.T
+    want = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if bucket[i] == bucket[j] and sims[i, j] >= th
+    }
+    assert gk == want
+
+
+def test_poly_hash31_matches_duckdb(ray_session):
+    """Engine token hash == the DuckDB expression used by the oracles."""
+    from toshi_ray.ops.dedup import _poly_hash31
+
+    toks = ["spark", "a", "xyz123", "zzz", "ünïcode"]
+    got = _poly_hash31(pa.array(toks)).tolist()
+    want = duckdb.sql(
+        "SELECT list_transform(" + str(toks) + ", t -> "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT))), "
+        "(a, c) -> (a * 257 + c) % 2147483647))"
+    ).fetchone()[0]
+    assert got == want

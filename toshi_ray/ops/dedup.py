@@ -17,6 +17,8 @@ Embedding    : cosine near-dup via sign-LSH buckets over normalized vecs
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,6 +27,60 @@ from toshi_ray.analyzer import DefaultAnalyzer
 
 _U = np.uint64
 _MERSENNE = _U((1 << 61) - 1)
+_M31 = np.int64((1 << 31) - 1)  # Mersenne-31 — BIGINT-safe in the SQL twins
+
+_LOG = logging.getLogger("toshi_ray.dedup")
+
+DEFAULT_BUCKET_CAP = 512
+
+
+def _pair_index(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pair indices for one LSH bucket: all pairs when n <= cap, else a
+    STAR to element 0 (the min-id representative after the caller's
+    sort). An oversized bucket is by construction a near-identical
+    cluster; star edges preserve its connected component for dedup
+    clustering at O(n) pairs instead of O(n²). Never silent: every
+    capped bucket is logged with its size."""
+    if n <= cap:
+        return np.triu_indices(n, k=1)
+    _LOG.warning(
+        "LSH bucket with %d rows exceeds cap %d; emitting star pairs only", n, cap
+    )
+    return np.zeros(n - 1, np.int64), np.arange(1, n, dtype=np.int64)
+
+
+def _poly_hash31(col: pa.Array, base: int = 257) -> np.ndarray:
+    """Char-code polynomial hash mod 2^31-1 — deliberately mirrorable in
+    ANSI SQL (DuckDB: list_reduce over unicode(t[i:i]) with BIGINT
+    arithmetic, no overflow). Horner loop bounded by max token length
+    (< 40 bytes), vectorized across tokens. Batch-invariant."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(col.cast(pa.string())).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(col)
+    if n == 0 or lens.sum() == 0:
+        return np.zeros(n, np.int64)
+    codes = np.frombuffer(
+        "".join(col.to_pylist()).encode("utf-32-le"), np.uint32
+    ).astype(np.int64)
+    offs = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    out = np.zeros(n, np.int64)
+    b = np.int64(base)
+    for j in range(int(lens.max())):
+        sel = lens > j
+        out[sel] = (out[sel] * b + codes[offs[sel] + j]) % _M31
+    return out
+
+
+def token_hash62(col: pa.Array) -> np.ndarray:
+    """62-bit SQL-mirrorable token hash: two 31-bit polynomial hashes
+    (bases 257 / 131) concatenated."""
+    h1 = _poly_hash31(col, 257).astype(np.uint64)
+    h2 = _poly_hash31(col, 131).astype(np.uint64)
+    return h1 | (h2 << _U(31))
 
 
 def _empty_pairs(metric: str, dtype) -> pd.DataFrame:
@@ -149,6 +205,52 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _shingle_hashes(tc, n_docs: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-token shingle hashes from a TokenizedColumn →
+    (flat hashes, per-doc offsets). Shared by minhash + jaccard verify."""
+    tok_hash = _hash_strings(tc.terms)
+    counts = np.bincount(tc.doc_index, minlength=n_docs)
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    # rolling combine of k consecutive token hashes within each doc
+    h = tok_hash.copy()
+    for j in range(1, k):
+        shifted = np.roll(tok_hash, -j)
+        h = _mix(h * _U(0x100000001B3) + shifted)
+    # drop the last min(k-1, count) positions of each doc — those
+    # shingles would cross the doc boundary (clamped to doc start)
+    keep = np.ones(h.size, dtype=bool)
+    starts = offs[:-1]
+    for j in range(1, k):
+        ends = offs[1:] - j
+        valid = ends >= starts
+        keep[ends[valid]] = False
+    new_counts = np.maximum(counts - (k - 1), 0)
+    new_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(new_counts, out=new_offs[1:])
+    return h[keep], new_offs
+
+
+def _unique_shingle_sets(col: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED UNIQUE shingle-hash sets → (flat, offsets)."""
+    an = DefaultAnalyzer()
+    tc = an.tokenize_column(col)
+    n = len(col)
+    h, offs = _shingle_hashes(tc, n, k)
+    if h.size == 0:
+        return h, np.zeros(n + 1, np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((h, doc_of))
+    hs, ds_ = h[order], doc_of[order]
+    first = np.ones(hs.size, bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    uniq_h, uniq_d = hs[first], ds_[first]
+    counts = np.bincount(uniq_d, minlength=n)
+    uoffs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=uoffs[1:])
+    return uniq_h, uoffs
+
+
 class MinHasher:
     """Stateful map_batches stage: word-shingle minhash signatures.
 
@@ -166,28 +268,7 @@ class MinHasher:
     def shingle_hashes(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """flat shingle hashes + per-doc offsets"""
         tc = self.an.tokenize_column(t[self.col].combine_chunks())
-        tok_hash = _hash_strings(tc.terms)
-        n_docs = t.num_rows
-        counts = np.bincount(tc.doc_index, minlength=n_docs)
-        offs = np.zeros(n_docs + 1, np.int64)
-        np.cumsum(counts, out=offs[1:])
-        # rolling combine of k consecutive token hashes within each doc
-        h = tok_hash.copy()
-        for j in range(1, self.k):
-            shifted = np.roll(tok_hash, -j)
-            h = _mix(h * _U(0x100000001B3) + shifted)
-        # drop the last min(k-1, count) positions of each doc — those
-        # shingles would cross the doc boundary (clamped to doc start)
-        keep = np.ones(h.size, dtype=bool)
-        starts = offs[:-1]
-        for j in range(1, self.k):
-            ends = offs[1:] - j
-            valid = ends >= starts
-            keep[ends[valid]] = False
-        new_counts = np.maximum(counts - (self.k - 1), 0)
-        new_offs = np.zeros(n_docs + 1, np.int64)
-        np.cumsum(new_counts, out=new_offs[1:])
-        return h[keep], new_offs
+        return _shingle_hashes(tc, t.num_rows, self.k)
 
     def signatures(self, t: pa.Table) -> np.ndarray:
         """(n_docs, num_perm) uint64 minhash matrix."""
@@ -224,6 +305,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ):
     """→ Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard).
 
@@ -262,7 +344,7 @@ def minhash_lsh_pairs(
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         sigs = np.stack(g["sig"].to_numpy())
-        ia, ib = np.triu_indices(len(g), k=1)
+        ia, ib = _pair_index(len(g), bucket_cap)
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame(
@@ -277,13 +359,23 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
-    """→ Dataset of (doc_id, simhash uint64): tf-weighted 64-bit simhash."""
+def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
+                       token_hash: str = "fast"):
+    """→ Dataset of (doc_id, simhash uint64): tf-weighted simhash.
+
+    ``token_hash="fast"`` (default) mixes the 64-bit FNV content hash —
+    the production near-dup path. ``token_hash="sql"`` uses the 62-bit
+    polynomial hash (`token_hash62`) whose every step is expressible in
+    ANSI SQL, so the DuckDB oracle can recompute the signature
+    value-for-value (bits 62-63 are then always 0)."""
 
     def sig(t: pa.Table) -> pa.Table:
         an = DefaultAnalyzer()
         tc = an.tokenize_column(t[col].combine_chunks())
-        th = _mix(_hash_strings(tc.terms))
+        if token_hash == "sql":
+            th = token_hash62(tc.terms)
+        else:
+            th = _mix(_hash_strings(tc.terms))
         n = t.num_rows
         acc = np.zeros((n, 64), dtype=np.int64)
         bits = ((th[:, None] >> np.arange(64, dtype=_U)) & _U(1)).astype(np.int64) * 2 - 1
@@ -294,7 +386,10 @@ def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
-def simhash_near_dup_pairs(ds, col="text", id_col="doc_id", max_hamming: int = 3):
+def simhash_near_dup_pairs(
+    ds, col="text", id_col="doc_id", max_hamming: int = 3,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+):
     """Banded candidate generation over 4×16-bit chunks (any identical
     chunk ⇒ candidate when hamming ≤ 3 by pigeonhole), exact verify."""
     sigs = simhash_signatures(ds, col, id_col)
@@ -320,7 +415,7 @@ def simhash_near_dup_pairs(ds, col="text", id_col="doc_id", max_hamming: int = 3
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
+        ia, ib = _pair_index(len(g), bucket_cap)
         x = sh[ia] ^ sh[ib]
         ham = np.zeros(x.size, dtype=np.int64)
         for i in range(64):
@@ -336,6 +431,46 @@ def simhash_near_dup_pairs(ds, col="text", id_col="doc_id", max_hamming: int = 3
 # Exact n-gram Jaccard verify (within candidate buckets)
 # ---------------------------------------------------------------------------
 
+def _jaccard_pairs_in_group(
+    texts: list, ids: np.ndarray, n: int, threshold: float
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard for all pairs of one bucket, vectorized:
+    per-doc sorted-unique shingle-hash sets, then an inverted pass over
+    shared shingles (output-sensitive — cost ~ Σ per-shingle pairs, not
+    m² string-set work). 64-bit shingle hashes stand in for exact tuple
+    sets; a cross-doc collision would need ~2^32 shingles."""
+    m = len(ids)
+    flat, offs = _unique_shingle_sets(pa.array(texts, type=pa.string()), n)
+    sizes = np.diff(offs)
+    if flat.size == 0:
+        return _empty_pairs("jaccard", float)
+    doc_of = np.repeat(np.arange(m, dtype=np.int64), sizes)
+    order = np.argsort(flat, kind="stable")
+    hs, ds_ = flat[order], doc_of[order]
+    new = np.ones(hs.size, bool)
+    new[1:] = hs[1:] != hs[:-1]
+    run_starts = np.nonzero(new)[0]
+    run_ends = np.append(run_starts[1:], hs.size)
+    keys = []
+    for s, e in zip(run_starts, run_ends):  # loop count = n shared shingles
+        L = e - s
+        if L < 2:
+            continue
+        docs = np.sort(ds_[s:e])
+        ia, ib = np.triu_indices(L, k=1)
+        keys.append(docs[ia] * m + docs[ib])
+    if not keys:
+        return _empty_pairs("jaccard", float)
+    pair_keys, inter = np.unique(np.concatenate(keys), return_counts=True)
+    a, b = pair_keys // m, pair_keys % m
+    union = sizes[a] + sizes[b] - inter
+    jac = inter / np.maximum(union, 1)
+    keep = jac >= threshold
+    return pd.DataFrame(
+        {"id_a": ids[a[keep]], "id_b": ids[b[keep]], "jaccard": jac[keep]}
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     bucket_col: str,
@@ -346,30 +481,92 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ):
     """Exact token-n-gram Jaccard for every pair within a bucket
-    (e.g. bucket = source or an LSH bucket). The bucket keeps the
-    quadratic pair-verify bounded; the groupby is the only shuffle."""
+    (e.g. bucket = source or an LSH bucket). Buckets shuffle via 64
+    coarse hash partitions (never one Ray group per bucket); inside,
+    the pair verify is the vectorized inverted-shingle pass."""
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _empty_pairs("jaccard", float)
-        g = g.sort_values(id_col)
-        an = DefaultAnalyzer()
-        shingle_sets = []
-        for text in g[col]:
-            toks = an.tokens(text or "")
-            shingle_sets.append({tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-        ids = g[id_col].to_numpy()
-        rows = []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                a, b = shingle_sets[i], shingle_sets[j]
-                u = len(a | b)
-                jac = len(a & b) / u if u else 0.0
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t[bucket_col].combine_chunks().cast(pa.string()).cast(pa.large_binary())
+        part = (_hash_strings(b) % _U(N_PAIR_PARTS)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
 
-    return ds.groupby(bucket_col).map_groups(verify, batch_format="pandas")
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(bucket_col, sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col)
+            out = _jaccard_pairs_in_group(
+                sub[col].fillna("").tolist(), sub[id_col].to_numpy(), n, threshold
+            )
+            if len(out):
+                outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else _empty_pairs("jaccard", float)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_verify_pairs(
+    ds,
+    pairs: pd.DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> pd.DataFrame:
+    """Exact-Jaccard verify for an EXPLICIT candidate-pair list (the
+    stage after `minhash_lsh_pairs`): only docs appearing in a pair are
+    shingled (id set broadcast once via ray.put), each doc's sorted
+    unique shingle-hash set ships to the driver once, and each pair is
+    one np.intersect1d. Cost ~ O(candidate docs + pairs), independent
+    of corpus size."""
+    import ray
+
+    if not len(pairs):
+        return pairs.assign(jaccard=pd.Series(dtype=float))
+    wanted = np.unique(
+        np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
+    ).astype(np.int64)
+    ref = ray.put(wanted)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, ray.get(ref))
+        if not mask.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.large_list(pa.uint64()))}
+            )
+        sub = t.filter(pa.array(mask))
+        flat, offs = _unique_shingle_sets(
+            sub[col].combine_chunks().cast(pa.string()), n
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[mask]),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+    rows = ds.map_batches(sigs, batch_format="pyarrow").take_all()
+    sets = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64) for r in rows}
+    jac = np.empty(len(pairs), np.float64)
+    for i, (a, b) in enumerate(zip(pairs["id_a"], pairs["id_b"])):
+        sa, sb = sets.get(int(a)), sets.get(int(b))
+        if sa is None or sb is None or (sa.size + sb.size) == 0:
+            jac[i] = 0.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac[i] = inter / (sa.size + sb.size - inter)
+    out = pairs.copy()
+    out["jaccard"] = jac
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -384,44 +581,54 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
+    planes: str = "random",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ):
-    """Sign-LSH bucket (random hyperplanes over normalized vectors) →
-    exact cosine verify within bucket. Vectors with cosine ≥ threshold
-    almost always share the bucket at small n_planes; scale path uses
-    multiple plane sets (add one column per set)."""
+    """Sign-LSH bucket over normalized vectors → exact cosine verify
+    within bucket, via the same 64-partition pair scheme as the text
+    LSH ops (never one Ray group per bucket), with the oversized-bucket
+    star cap. Vectors convert zero-copy (FixedSizeList/List flatten →
+    reshape, no per-row Python).
+
+    ``planes="random"``: seeded Gaussian hyperplanes (production).
+    ``planes="axis"``: the first n_planes coordinate axes — fully
+    deterministic AND expressible in SQL (bucket bit j = v[j] > 0), so
+    the DuckDB oracle can recompute bucket membership exactly."""
+    from toshi_ray.ops.similarity import _vec_matrix
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((v.shape[1], n_planes))
-        bits = (v @ planes > 0).astype(np.uint64)
+        v = _vec_matrix(t[vec_col])
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        if planes == "axis":
+            bits = (v[:, :n_planes] > 0).astype(np.uint64)
+        else:
+            rng = np.random.default_rng(seed)
+            p = rng.standard_normal((v.shape[1], n_planes))
+            bits = (v @ p > 0).astype(np.uint64)
         bucket = bits @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
         return pa.table(
             {
                 id_col: t[id_col],
                 "bucket": pa.array(bucket),
+                "part": pa.array((_mix(bucket) % _U(N_PAIR_PARTS)).astype(np.int64)),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(v.reshape(-1)), v.shape[1]
                 ),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return _empty_pairs("cosine", float)
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         v = np.stack(g["vec"].to_numpy())
-        sim = v @ v.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sim[ia, ib] >= threshold
+        ia, ib = _pair_index(len(g), bucket_cap)
+        sim = np.einsum("ij,ij->i", v[ia], v[ib])
+        keep = sim >= threshold
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[ia, ib][keep]}
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[keep]}
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-    )
+    exploded = ds.map_batches(bucketize, batch_format="pyarrow")
+    return _pairs_by_partition(exploded, ["bucket"], bucket_pairs, "cosine", float)

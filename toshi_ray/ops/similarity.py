@@ -15,9 +15,27 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """Zero-copy (n, d) float64 matrix from a FixedSizeList / List
+    embedding column — flatten + reshape, no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(n, d).astype(np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return flat.reshape(0, 0).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    if not (lens == lens[0]).all():
+        raise ValueError("embedding column has ragged list lengths")
+    return flat.reshape(n, int(lens[0])).astype(np.float64)
+
+
 def _as_matrix(col) -> np.ndarray:
-    v = np.stack(col.to_pylist()).astype(np.float64)
-    return v
+    return _vec_matrix(col)
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:

@@ -22,8 +22,6 @@ STOPWORDS = {
 LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break preference
 
 _U = np.uint64
-FP_BASE = _U(1_000_003)
-FP_MOD = _U((1 << 61) - 1)
 
 
 def _tokenize(t: pa.Table, col: str):
@@ -39,6 +37,18 @@ def _per_doc_count_in_set(tc, n_docs: int, words: set[str]) -> np.ndarray:
     return np.bincount(tc.doc_index[mask], minlength=n_docs)
 
 
+def _per_doc_distinct(tc, n_docs: int) -> np.ndarray:
+    """Distinct terms per doc via dictionary codes — every token stays
+    an int32, never a Python string (the object-lexsort this replaces
+    materialized the whole batch's tokens as PyObjects)."""
+    codes, vocab = tc.term_ids()
+    if codes.size == 0:
+        return np.zeros(n_docs, np.int64)
+    v = np.int64(len(vocab))
+    uniq = np.unique(tc.doc_index.astype(np.int64) * v + codes)
+    return np.bincount((uniq // v).astype(np.int64), minlength=n_docs)
+
+
 def token_stats(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, n_tokens, n_uniq, n_ws_tokens, text_chars)."""
 
@@ -46,16 +56,7 @@ def token_stats(ds, col: str = "text", id_col: str = "doc_id"):
         tc = _tokenize(t, col)
         n = t.num_rows
         n_tokens = tc.norms
-        # unique terms per doc: count boundaries of sorted (doc, term)
-        order = np.lexsort((np.asarray(tc.terms.to_pylist(), dtype=object), tc.doc_index))
-        d = tc.doc_index[order]
-        terms = np.asarray(tc.terms.to_pylist(), dtype=object)[order]
-        if d.size:
-            new = np.ones(d.size, dtype=bool)
-            new[1:] = (d[1:] != d[:-1]) | (terms[1:] != terms[:-1])
-            n_uniq = np.bincount(d[new], minlength=n)
-        else:
-            n_uniq = np.zeros(n, dtype=np.int64)
+        n_uniq = _per_doc_distinct(tc, n)
         ws = pc.split_pattern_regex(
             pc.fill_null(t[col].combine_chunks().cast(pa.string()), ""), pattern=r"\s+"
         )
@@ -92,16 +93,7 @@ def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
         n = t.num_rows
         n_tok = tc.norms.astype(np.float64)
         stops = _per_doc_count_in_set(tc, n, set(STOPWORDS["en"])).astype(np.float64)
-        # distinct ratio
-        order = np.lexsort((np.asarray(tc.terms.to_pylist(), dtype=object), tc.doc_index))
-        d = tc.doc_index[order]
-        terms = np.asarray(tc.terms.to_pylist(), dtype=object)[order]
-        if d.size:
-            new = np.ones(d.size, dtype=bool)
-            new[1:] = (d[1:] != d[:-1]) | (terms[1:] != terms[:-1])
-            n_uniq = np.bincount(d[new], minlength=n).astype(np.float64)
-        else:
-            n_uniq = np.zeros(n)
+        n_uniq = _per_doc_distinct(tc, n).astype(np.float64)
         safe = np.maximum(n_tok, 1.0)
         stop_ratio = stops / safe
         distinct_ratio = n_uniq / safe
@@ -144,15 +136,20 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 def fingerprint(ds, col: str = "text", id_col: str = "doc_id"):
-    """→ (doc_id, fp): rolling polynomial hash over the token stream
-    (mod 2^61−1) — an order-sensitive document fingerprint."""
-    from toshi_ray.ops.dedup import _hash_strings
+    """→ (doc_id, fp): rolling polynomial hash over the token stream —
+    an order-sensitive document fingerprint.
+
+    Arithmetic is mod 2^31−1 with token hashes from `_poly_hash31`, so
+    every step fits signed 64-bit AND is expressible in ANSI SQL
+    (list_reduce Horner in the DuckDB oracle recomputes it
+    value-for-value)."""
+    from toshi_ray.ops.dedup import _M31, _poly_hash31
 
     def fp(t: pa.Table) -> pa.Table:
         tc = _tokenize(t, col)
         n = t.num_rows
-        th = _hash_strings(tc.terms) % FP_MOD
-        out = np.zeros(n, dtype=_U)
+        th = _poly_hash31(tc.terms)
+        out = np.zeros(n, dtype=np.int64)
         # horner over each doc's token stream; loop bounded by max doc
         # length, vectorized across docs
         counts = np.bincount(tc.doc_index, minlength=n)
@@ -162,7 +159,7 @@ def fingerprint(ds, col: str = "text", id_col: str = "doc_id"):
         for j in range(max_len):
             sel = counts > j
             idx = offs[:-1][sel] + j
-            out[sel] = (out[sel] * FP_BASE + th[idx]) % FP_MOD
+            out[sel] = (out[sel] * np.int64(1_000_003) + th[idx]) % _M31
         return pa.table({id_col: t[id_col], "fp": pa.array(out)})
 
     return ds.map_batches(fp, batch_format="pyarrow")

@@ -82,6 +82,54 @@ def _stop_list_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+def _tok_hash31_sql(var: str, base: int) -> str:
+    """Char-polynomial hash mod 2^31-1 of one token — the SQL twin of
+    `toshi_ray.ops.dedup._poly_hash31` (BIGINT-safe: acc*257+c < 2^40)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({var})+1), i -> CAST(unicode({var}[i:i]) AS BIGINT))), "
+        f"(a, c) -> (a * {base} + c) % 2147483647)"
+    )
+
+
+def simhash62_sql() -> str:
+    """Recompute the 62-bit simhash signature per doc entirely in SQL:
+    per-token h = p257 | p131<<31, then a ±1 vote per bit over all token
+    occurrences (tf-weighted, exactly the engine's aggregation)."""
+    h62 = f"({_tok_hash31_sql('t', 257)} + {_tok_hash31_sql('t', 131)} * 2147483648)"
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(62)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v.s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(62)
+    )
+    return f"""
+WITH {TOKENS_CTE},
+th AS (SELECT doc_id, unnest(list_transform(tk, t -> {h62})) AS h FROM toks),
+votes AS (SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST({combine} AS BIGINT) AS simhash
+FROM toks t LEFT JOIN votes v USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def fingerprint_sql() -> str:
+    """Horner fold over per-token hashes, mod 2^31-1 — the exact engine
+    recurrence (fp = fp*1000003 + h, all BIGINT-safe)."""
+    return f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(tk, t -> {_tok_hash31_sql('t', 257)})),
+         (f, h) -> (f * 1000003 + h) % 2147483647) AS fp
+FROM toks ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Index cache (one build per sf_dir, resumable — rerun returns instantly)
 # ---------------------------------------------------------------------------
@@ -269,11 +317,15 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
+    """62-bit simhash with the SQL-mirrorable polynomial token hash —
+    the DuckDB oracle recomputes every signature value-for-value
+    (the production near-dup path keeps the fast 64-bit hash; the
+    aggregation/voting code is the same)."""
     from toshi_ray.ops.dedup import simhash_signatures
 
-    rows = simhash_signatures(_docs_ds(sf_dir)).take_all()
+    rows = simhash_signatures(_docs_ds(sf_dir), token_hash="sql").take_all()
     df = pd.DataFrame(rows)
-    df["simhash"] = df["simhash"].astype("uint64")
+    df["simhash"] = df["simhash"].astype("int64")  # < 2^62, BIGINT-safe
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -281,16 +333,45 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.dedup import ngram_jaccard_pairs
 
     rows = ngram_jaccard_pairs(_docs_ds(sf_dir), "source", threshold=0.05).take_all()
-    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard_x1e6": pd.Series(dtype="int64")})
+    df = pd.DataFrame(rows)
+    # int/int division is bit-identical on both engines → floor matches
+    df["jaccard_x1e6"] = np.floor(df["jaccard"] * 1e6).astype("int64")
+    return (
+        df.drop(columns=["jaccard"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Axis-plane sign-LSH buckets (deterministic AND SQL-expressible:
+    bucket bit j = v[j] > 0) + exact cosine verify. The op filter is a
+    loose 0.3; the driver-compared cut is on the QUANTIZED score
+    (>= 350) applied identically on both sides, so an ulp of cosine
+    rounding can't flip row membership at the threshold."""
     from toshi_ray.ops.dedup import embedding_near_dup_pairs
 
-    rows = embedding_near_dup_pairs(_emb_ds(sf_dir), threshold=0.35, n_planes=4).take_all()
-    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    rows = embedding_near_dup_pairs(
+        _emb_ds(sf_dir), threshold=0.3, n_planes=4, planes="axis"
+    ).take_all()
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cosine_x1e3": pd.Series(dtype="int64")})
+    df = pd.DataFrame(rows)
+    df["cosine_x1e3"] = np.floor(df["cosine"] * 1000.0 + 0.5).astype("int64")
+    df = df[df["cosine_x1e3"] >= 350]
+    return (
+        df.drop(columns=["cosine"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
@@ -305,8 +386,12 @@ def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF over a cell-PARTITIONED index: the scale path — a probe reads
-    only nprobe/n_cells of the corpus bytes."""
+    """IVF over a cell-PARTITIONED index. For the correctness gate the
+    probe covers ALL cells (nprobe = n_cells), so the result is
+    provably the exact top-k — the DuckDB brute-force oracle checks the
+    whole IVF machinery (partitioned build, pruned read, scoring,
+    merge) value-for-value. The nprobe < n_cells scale path (partition
+    pruning, recall) is pinned by pytest (`test_ivf_*`)."""
     from toshi_ray.ops.similarity import (
         build_ivf_index,
         ivf_index_topk,
@@ -322,9 +407,9 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     path = os.path.join(CACHE_ROOT, f"ivf-{key}")
     if not os.path.isdir(path):
         build_ivf_index(emb, cent, path)
-    df = ivf_index_topk(path, q, cent, k=10, nprobe=3, query_ids=qids)
-    df["score"] = df["score"].round(4)
-    return df.astype({"query_id": "int64", "vec_id": "int64"})
+    df = ivf_index_topk(path, q, cent, k=10, nprobe=8, query_ids=qids)
+    df["score_x1e3"] = np.floor(df["score"] * 1000.0 + 0.5).astype("int64")
+    return df.drop(columns=["score"]).astype({"query_id": "int64", "vec_id": "int64"})
 
 
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
@@ -403,7 +488,7 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
 
     rows = fingerprint(_docs_ds(sf_dir)).take_all()
     df = pd.DataFrame(rows)
-    df["fp"] = df["fp"].astype("uint64")
+    df["fp"] = df["fp"].astype("int64")  # mod 2^31-1, BIGINT-safe
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -563,6 +648,64 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
     sql["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+    sql["simhash"] = simhash62_sql()
+    sql["fingerprint"] = fingerprint_sql()
+
+    # all pairs within a source whose exact token-trigram jaccard clears
+    # the threshold; int/int division is bit-identical on both engines
+    sql["ngram_jaccard"] = f"""
+WITH {TOKENS_CTE},
+g AS (SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM toks WHERE len(tk) >= 3),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(floor(inter / CAST(uni AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_x1e6
+FROM p WHERE inter / CAST(uni AS DOUBLE) >= 0.05
+ORDER BY id_a, id_b
+"""
+
+    # axis-plane sign-LSH buckets (bit j = v[j] > 0) + exact cosine,
+    # cut on the QUANTIZED score exactly like the engine side
+    sql["embed_near_dup"] = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000.0 + 0.5) AS BIGINT) AS cosine_x1e3
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine_x1e3
+FROM p WHERE cosine_x1e3 >= 350
+ORDER BY id_a, id_b
+"""
+
+    # ann_ivf probes ALL cells (nprobe = n_cells) → provably the exact
+    # top-k, so the brute-force oracle checks the whole IVF machinery
+    sql["ann_ivf"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+SELECT CAST(q.query_id AS BIGINT) AS query_id, CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(floor(list_cosine_similarity(q.embedding, e.embedding) * 1000.0 + 0.5) AS BIGINT) AS score_x1e3
+FROM q, embeddings e
+QUALIFY row_number() OVER (
+  PARTITION BY q.query_id
+  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+) <= 10
+ORDER BY query_id, score_x1e3 DESC, vec_id
 """
 
     sql["ann_bruteforce"] = """

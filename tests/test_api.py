@@ -150,3 +150,50 @@ def test_cjk_analyzer_index(ray_session):
     assert c.search("zh", {"query": {"term": {"body": "界"}}})["hits"] == 1
     assert c.search("zh", {"query": {"term": {"body": "世"}}})["hits"] == 2
     assert c.search("zh", {"query": {"phrase": {"body": {"terms": ["世", "界"]}}}})["hits"] == 1
+
+
+def test_auto_commit_ticker(ray_session):  # commit.rs:88-109
+    """Buffered-writes mode: an added doc stays invisible until the
+    auto-commit ticker fires (reference default cadence 10 s)."""
+    import time
+
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_tick_"), buffered_writes=True)
+    c.create_index("test_index", F2_SCHEMA)
+    c.add_document("test_index", {"document": F2_DOCS[0]})
+    assert c.all_docs("test_index")["hits"] == 0  # staged, not committed
+    w = c.start_auto_commit(every_s=0.2)
+    deadline = time.time() + 10
+    while time.time() < deadline and c.all_docs("test_index")["hits"] == 0:
+        time.sleep(0.1)
+    c.stop_auto_commit()
+    assert c.all_docs("test_index")["hits"] == 1
+
+
+def test_auto_commit_suppressed_during_bulk(ray_session):  # bulk.rs:67, commit.rs:19
+    from toshi_ray.api import AutoCommitWatcher
+
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_supp_"), buffered_writes=True)
+    c.create_index("test_index", F2_SCHEMA)
+    c.add_document("test_index", {"document": F2_DOCS[0]})
+    w = AutoCommitWatcher(c, every_s=999)  # never started; tick manually
+    c._bulk_lock.set()  # a bulk is in flight
+    assert w.tick() == []
+    assert c.all_docs("test_index")["hits"] == 0
+    c._bulk_lock.clear()
+    assert w.tick() == ["test_index"]
+    assert c.all_docs("test_index")["hits"] == 1
+
+
+def test_buffered_bulk_then_flush(ray_session):
+    """Buffered mode: bulk stages docs; flush commits them; a bad bulk
+    stages nothing (whole-batch rollback still holds)."""
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_buf_"), buffered_writes=True)
+    c.create_index("test_index", F2_SCHEMA)
+    assert c.bulk_insert("test_index", BULK_OK)["docs"] == 3
+    assert c.all_docs("test_index")["hits"] == 0
+    c.flush("test_index")
+    assert c.all_docs("test_index")["hits"] == 3
+    with pytest.raises(QueryError):
+        c.bulk_insert("test_index", BULK_BAD)
+    c.flush("test_index")
+    assert c.all_docs("test_index")["hits"] == 3

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -41,11 +42,77 @@ from toshi_ray.search import Searcher
 from toshi_ray.segments import build_segment_tables, write_segment
 
 
+class AutoCommitWatcher:
+    """Analogue of the reference's commit watcher (`commit.rs:11-28`):
+    every ``every_s`` seconds, commit any index whose opstamp advanced
+    since the last commit — unless the bulk-ingest lock is held
+    (`bulk.rs:67` suppression). Only meaningful for a catalog in
+    buffered-writes mode; with the default publish-on-write mode every
+    write already IS a commit (atomic manifest swap)."""
+
+    def __init__(self, catalog: "IndexCatalog", every_s: float = 10.0):
+        self.catalog = catalog
+        self.every_s = every_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "AutoCommitWatcher":
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.every_s):
+            self.tick()
+
+    def tick(self) -> list[str]:
+        """One watcher pass; returns the indexes committed (callable
+        directly for deterministic tests, mirroring commit.rs:88-109)."""
+        c = self.catalog
+        if c._bulk_lock.is_set():  # suppressed during bulk ingest
+            return []
+        out = []
+        for name, ops in list(c._opstamp.items()):
+            if ops > 0:
+                c.flush(name)
+                out.append(name)
+        return out
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=5)
+
+
 class IndexCatalog:
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, buffered_writes: bool = False,
+                 auto_commit_s: float | None = None):
+        """``buffered_writes=True`` mirrors the reference's writer-arena
+        visibility: added docs stay PENDING (invisible) until an
+        explicit flush, a per-doc ``options.commit``, or the auto-commit
+        ticker fires. The default (False) publishes every write
+        immediately — each append is an atomic manifest swap."""
         self.base_path = base_path
         os.makedirs(base_path, exist_ok=True)
         self._searchers: dict[str, Searcher] = {}
+        self.buffered_writes = buffered_writes
+        self._pending: dict[str, list[dict]] = {}
+        self._opstamp: dict[str, int] = {}
+        self._bulk_lock = threading.Event()
+        self._watcher: AutoCommitWatcher | None = None
+        if auto_commit_s:
+            self.start_auto_commit(auto_commit_s)
+
+    def start_auto_commit(self, every_s: float = 10.0) -> AutoCommitWatcher:
+        """Spawn the commit ticker (reference default 10 s,
+        `settings.rs` auto_commit_duration)."""
+        if self._watcher is None:
+            self._watcher = AutoCommitWatcher(self, every_s).start()
+        return self._watcher
+
+    def stop_auto_commit(self) -> None:
+        if self._watcher is not None:
+            self._watcher.stop()
+            self._watcher = None
 
     # ---- S5: create ----
     def create_index(self, name: str, schema_json: list[dict]) -> dict:
@@ -90,9 +157,14 @@ class IndexCatalog:
             out["summaries"]["segment_sizes"] = sizes
         return out
 
-    # ---- S7: flush (manifest is always durable; bump the version) ----
+    # ---- S7: flush/commit (publish pending docs + bump the version) ----
     def flush(self, name: str) -> dict:
         root = self._require(name)
+        pending = self._pending.pop(name, [])
+        self._opstamp[name] = 0
+        if pending:
+            self._append_docs(name, pending)
+            return {"opstamp": load_manifest(root)["version"]}
         manifest = load_manifest(root)
         m = publish_manifest(root, manifest["segments"],
                              extra={k: v for k, v in manifest.items()
@@ -106,33 +178,51 @@ class IndexCatalog:
         if not isinstance(doc, dict):
             # golden: handlers/index.rs:150-169
             raise QueryError.index("The provided string is not valid JSON")
-        self._append_docs(name, [doc])
-        if body.get("options", {}).get("commit"):
-            self.flush(name)
+        if self.buffered_writes:
+            self._require(name)
+            self._pending.setdefault(name, []).append(doc)
+            self._opstamp[name] = self._opstamp.get(name, 0) + 1
+            if body.get("options", {}).get("commit"):
+                self.flush(name)
+        else:
+            self._append_docs(name, [doc])
+            if body.get("options", {}).get("commit"):
+                self.flush(name)
         return {"created": True}
 
     # ---- S1/S2/S4: bulk NDJSON with whole-batch rollback ----
     def bulk_insert(self, name: str, ndjson: str, max_line_length: int = 10_000) -> dict:
         root = self._require(name)
         schema = self._schema(name)
-        docs = []
-        for i, line in enumerate(ndjson.splitlines()):
-            if not line.strip():
-                continue
-            if len(line) > max_line_length:  # settings.rs:41 default
-                raise QueryError.index(f"Line {i} exceeds max_line_length")
-            try:
-                doc = json.loads(line)
-            except json.JSONDecodeError:
-                raise QueryError.index("The provided string is not valid JSON")
-            if not isinstance(doc, dict):
-                raise QueryError.index("The provided string is not valid JSON")
-            self._validate(schema, doc)
-            docs.append(doc)
-        # all lines parsed+validated → publish once (atomic commit = the
-        # rollback guarantee: a bad line above aborted before any publish)
-        self._append_docs(name, docs)
-        return {"docs": len(docs)}
+        # auto-commit suppression for the duration of the bulk
+        # (bulk.rs:67 sets the watcher's AtomicBool)
+        self._bulk_lock.set()
+        try:
+            docs = []
+            for i, line in enumerate(ndjson.splitlines()):
+                if not line.strip():
+                    continue
+                if len(line) > max_line_length:  # settings.rs:41 default
+                    raise QueryError.index(f"Line {i} exceeds max_line_length")
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    raise QueryError.index("The provided string is not valid JSON")
+                if not isinstance(doc, dict):
+                    raise QueryError.index("The provided string is not valid JSON")
+                self._validate(schema, doc)
+                docs.append(doc)
+            # all lines parsed+validated → stage or publish once (atomic
+            # commit = the rollback guarantee: a bad line above aborted
+            # before any publish)
+            if self.buffered_writes:
+                self._pending.setdefault(name, []).extend(docs)
+                self._opstamp[name] = self._opstamp.get(name, 0) + len(docs)
+            else:
+                self._append_docs(name, docs)
+            return {"docs": len(docs)}
+        finally:
+            self._bulk_lock.clear()
 
     # ---- T5: delete by term (DELETE /{idx}) ----
     def delete_term(self, name: str, terms: dict) -> dict:

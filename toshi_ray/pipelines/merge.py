@@ -575,23 +575,31 @@ def load_tombstones(index_root: str) -> np.ndarray:
     return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
 
 
-def delete_by_term(index_root: str, field: str, term: str) -> int:
+def delete_by_term(index_root: str, field: str, term: str,
+                   *, distributed: bool | None = None) -> int:
     """Tombstone every doc containing ``term``; returns docs_affected
-    (counted before/after like the reference)."""
+    (counted before/after like the reference).
+
+    Match evaluation goes through the regular Searcher, so on a big
+    index it runs on the distributed scorer-actor pool; tiny indexes
+    (≤ 8 segments) evaluate in-process to skip actor spin-up."""
     from toshi_ray.search import Searcher
 
-    before = load_tombstones(index_root)
-    s = Searcher(index_root, distributed=False)
-    s._ensure_groups()
-    plan = s._plan({"query": {"term": {field: term}}}).query
-    stats = s._stats_for(plan)
-    matches = []
-    for _, g in s._groups:
-        for reader in g.readers:
-            ids, _ = g._eval(plan, reader, stats)
-            matches.append(ids)
-    ids = np.unique(np.concatenate(matches)) if matches else np.empty(0, np.uint64)
-    new = np.setdiff1d(ids, before)
+    manifest = load_manifest(index_root)
+    if distributed is None:
+        try:
+            import ray
+
+            distributed = ray.is_initialized() and len(manifest["segments"]) > 8
+        except Exception:
+            distributed = False
+    s = Searcher(index_root, distributed=distributed)
+    # match_doc_ids already subtracts existing tombstones → every id
+    # returned is newly affected
+    new = np.asarray(
+        s.match_doc_ids({"query": {"term": {field: term}}}), dtype=np.uint64
+    )
+    s.close()
     if new.size:
         os.makedirs(os.path.join(index_root, TOMBSTONES_DIR), exist_ok=True)
         pq.write_table(

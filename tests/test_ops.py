@@ -447,3 +447,47 @@ def test_poly_hash31_matches_duckdb(ray_session):
         "(a, c) -> (a * 257 + c) % 2147483647))"
     ).fetchone()[0]
     assert got == want
+
+
+def test_ivf_realistic_cells_prunes_and_recalls(ray_session, tmp_path):
+    """VERDICT round-1 item 10: n_cells ~ √N with the streamed sketch
+    k-means. 100k vectors / 256 cells: a probe must touch only the
+    probed cells' bytes, and recall@10 vs brute force stays high."""
+    import ray.data
+
+    from toshi_ray.ops.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        train_ivf_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d, n_cells = 100_000, 16, 256
+    centers = rng.standard_normal((300, d)) * 3.0
+    v = centers[rng.integers(0, 300, n)] + rng.standard_normal((n, d)) * 0.35
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(v.reshape(-1)), d)})
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    cent = train_ivf_centroids_distributed(ds, n_cells=n_cells, sketch_per_block=64)
+    assert cent.shape == (n_cells, d)
+    path = str(tmp_path / "ivf256")
+    build_ivf_index(ds, cent, path)
+
+    # pruning: ONE query probing 8 of 256 cells reads a bounded fraction
+    nprobe = 8
+    _, stats = ivf_index_topk(path, v[:1], cent, k=10, nprobe=nprobe,
+                              query_ids=np.arange(1), return_stats=True)
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["bytes_read"] <= stats["bytes_total"] * (nprobe / n_cells) * 3.0
+
+    # recall@10 over 20 queries
+    q = v[:20]
+    got = ivf_index_topk(path, q, cent, k=10, nprobe=nprobe,
+                         query_ids=np.arange(20))
+    bf = brute_force_topk(ds, q, k=10, query_ids=np.arange(20))
+    bs = set(map(tuple, bf[["query_id", "vec_id"]].values.tolist()))
+    is_ = set(map(tuple, got[["query_id", "vec_id"]].values.tolist()))
+    assert len(bs & is_) / len(bs) >= 0.8

@@ -115,6 +115,71 @@ def train_ivf_centroids(
     return cent
 
 
+def train_ivf_centroids_distributed(
+    ds,
+    *,
+    n_cells: int = 256,
+    vec_col: str = "embedding",
+    sketch_per_block: int = 64,
+    iters: int = 12,
+    seed: int = 5,
+) -> np.ndarray:
+    """Streamed k-means for REALISTIC cell counts (n_cells ~ √N).
+
+    Phase 1 (distributed, one pass): every block runs a small LOCAL
+    k-means over its own vectors and emits ≤ ``sketch_per_block``
+    (centroid, weight) rows — the classic scalable-k-means sketch. Only
+    the sketch (blocks × sketch_per_block points, KBs) reaches the
+    driver, never the vectors.
+    Phase 2 (driver): weighted k-means over the sketch down to
+    ``n_cells``. Deterministic: seeded init, stride-sampled local
+    starts."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        v = _normalize(_vec_matrix(t[vec_col]))
+        n, d = v.shape
+        k = min(sketch_per_block, n)
+        if k == 0:
+            return pa.table({"c": pa.array([], pa.large_list(pa.float64())),
+                             "w": pa.array([], pa.int64())})
+        cent = v[np.linspace(0, n - 1, k).astype(np.int64)]  # deterministic init
+        for _ in range(4):
+            assign = np.argmax(v @ cent.T, axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cent[c] = v[m].mean(axis=0)
+            cent = _normalize(cent)
+        assign = np.argmax(v @ cent.T, axis=1)
+        w = np.bincount(assign, minlength=k)
+        keep = w > 0
+        offs = np.arange(int(keep.sum()) + 1, dtype=np.int64) * d
+        return pa.table(
+            {
+                "c": pa.LargeListArray.from_arrays(
+                    pa.array(offs), pa.array(cent[keep].reshape(-1))
+                ),
+                "w": pa.array(w[keep].astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    pts = np.stack([np.asarray(r["c"], np.float64) for r in rows])
+    wts = np.array([r["w"] for r in rows], dtype=np.float64)
+    k = min(n_cells, pts.shape[0])
+    rng = np.random.default_rng(seed)
+    cent = pts[rng.choice(pts.shape[0], size=k, replace=False,
+                          p=wts / wts.sum())]
+    for _ in range(iters):  # weighted lloyd over the sketch
+        assign = np.argmax(pts @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = (pts[m] * wts[m, None]).sum(axis=0) / wts[m].sum()
+        cent = _normalize(cent)
+    return cent
+
+
 def build_ivf_index(
     ds,
     centroids: np.ndarray,
@@ -126,7 +191,12 @@ def build_ivf_index(
     """Materialize an IVF index: vectors written as parquet PARTITIONED
     BY cell (hive layout), so a probe reads only its cells' files —
     the true scale path (brute_force touches every byte; this touches
-    nprobe/n_cells of them)."""
+    nprobe/n_cells of them).
+
+    Blocks are repartitioned by cell hash before the write so each
+    output block holds few cells: without it, every input block writes
+    a sliver into every cell dir (blocks × n_cells tiny files at
+    n_cells=256+); with it the file count stays O(blocks)."""
     import ray
 
     cent_ref = ray.put(centroids)
@@ -140,9 +210,10 @@ def build_ivf_index(
         t = t.append_column("cell", pa.array(cell))
         return t.append_column("cell_id", pa.array(cell))
 
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["cell"]
-    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if centroids.shape[0] > 16:
+        assigned = assigned.sort("cell")  # co-locate cells → O(blocks) files
+    assigned.write_parquet(path, partition_cols=["cell"])
     return path
 
 
@@ -156,9 +227,14 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_ids: np.ndarray | None = None,
+    return_stats: bool = False,
 ):
     """ANN over a partitioned IVF index: reads ONLY the probed cells
-    (parquet partition pruning), then exact cosine within them."""
+    (parquet partition pruning), then exact cosine within them.
+
+    ``return_stats=True`` additionally returns
+    {files_read, bytes_read, files_total, bytes_total} so callers (and
+    tests) can assert the probe touched ≤ nprobe/n_cells of the index."""
     import ray.data
 
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -176,8 +252,18 @@ def ivf_index_topk(
         for c in cells
         for f in sorted(glob.glob(os.path.join(index_path, f"cell={c}", "*.parquet")))
     ]
+    stats = None
+    if return_stats:
+        all_files = glob.glob(os.path.join(index_path, "cell=*", "*.parquet"))
+        stats = {
+            "files_read": len(paths),
+            "bytes_read": sum(os.path.getsize(p) for p in paths),
+            "files_total": len(all_files),
+            "bytes_total": sum(os.path.getsize(p) for p in all_files),
+        }
     if not paths:
-        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
+        empty = pd.DataFrame({"query_id": [], id_col: [], "score": []})
+        return (empty, stats) if return_stats else empty
     ds = ray.data.read_parquet(paths)
     import ray
 
@@ -214,9 +300,11 @@ def ivf_index_topk(
     parts = ds.map_batches(score, batch_format="pyarrow").take_all()
     df = pd.DataFrame(parts)
     if df.empty:
-        return pd.DataFrame({"query_id": [], id_col: [], "score": []})
-    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
-    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+        df = pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    else:
+        df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    return (df, stats) if return_stats else df
 
 
 def ivf_topk(

@@ -33,9 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query (the non-SQL ones —
-    minhash/simhash LSH, IVF-ANN, rolling-hash fingerprints — get the
-    driver's rows-only check)."""
+    """DuckDB twins for every SQL-expressible query. The one exception
+    is ``dedup_minhash`` (rows-only): its est_jaccard is signature
+    agreement over seeded random permutations, not SQL-recomputable."""
     from toshi_ray.pipelines.queries import oracle_sql_map
 
     return oracle_sql_map()

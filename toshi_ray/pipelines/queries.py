@@ -47,8 +47,11 @@ def _norm_values_sql() -> str:
     return f"norm_table(val) AS (VALUES {vals})"
 
 
-def bm25_topk_sql(term: str, k: int) -> str:
-    """Full BM25 top-k in ANSI SQL (global stats, quantized norms)."""
+def bm25_topk_sql(term: str, k: int, boost: float = 1.0) -> str:
+    """Full BM25 top-k in ANSI SQL (global stats, quantized norms).
+    ``boost`` mirrors the raw grammar's `term^b` multiplier; powers of
+    two keep the comparison bit-exact (exact float multiplication)."""
+    b = "" if boost == 1.0 else f"{boost} * "
     return f"""
 WITH {TOKENS_CTE},
 {_norm_values_sql()},
@@ -68,7 +71,7 @@ stats AS (
   FROM base
 )
 SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
-       CAST(floor(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * 2.2 * q.tf
+       CAST(floor({b}ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * 2.2 * q.tf
              / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) * 10000.0) AS BIGINT) AS score_x1e4
 FROM quant q, stats s
 WHERE q.tf > 0
@@ -199,6 +202,29 @@ def q_term_topk(sf_dir: str) -> pd.DataFrame:
 def q_raw_topk(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     r = s.search({"query": {"raw": "text:Spark"}, "limit": 50})  # raw IS analyzed
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
+def q_raw_grouped(sf_dir: str) -> pd.DataFrame:
+    """Raw grammar v2 surface: parens grouping + AND + a raw numeric
+    range clause in one query."""
+    s = searcher_for(sf_dir)
+    ids = s.match_doc_ids(
+        {"query": {"raw": "(spark OR window) AND n_chars:[200 TO 300]"}}
+    )
+    return _ids_frame(ids)
+
+
+def q_raw_boost_topk(sf_dir: str) -> pd.DataFrame:
+    """`term^2` boost: scores are exactly 2x the unboosted BM25 (the
+    power-of-two multiplier keeps both engines bit-identical)."""
+    s = searcher_for(sf_dir)
+    r = s.search({"query": {"raw": "text:spark^2"}, "limit": 50})
     return pd.DataFrame(
         {
             "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
@@ -502,6 +528,15 @@ def oracle_sql_map() -> dict[str, str]:
 
     sql["term_topk"] = bm25_topk_sql("spark", 50)
     sql["raw_topk"] = bm25_topk_sql("spark", 50)
+    sql["raw_boost_topk"] = bm25_topk_sql("spark", 50, boost=2.0)
+
+    sql["raw_grouped"] = f"""
+WITH {TOKENS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
+WHERE (list_contains(tk, 'spark') OR list_contains(tk, 'window'))
+  AND n_chars >= 200 AND n_chars <= 300
+ORDER BY doc_id
+"""
 
     # full BM25 phrase scoring: phrase frequency via positional self-join,
     # weight = Σ idf of the phrase terms (tantivy Bm25Weight::for_terms)
@@ -772,6 +807,8 @@ FROM v ORDER BY doc_id
 QUERIES = {
     "term_topk": q_term_topk,
     "raw_topk": q_raw_topk,
+    "raw_grouped": q_raw_grouped,
+    "raw_boost_topk": q_raw_boost_topk,
     "term_matches": q_term_matches,
     "phrase_topk": q_phrase_topk,
     "phrase_matches": q_phrase_matches,

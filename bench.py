@@ -166,6 +166,26 @@ def bench_ops() -> dict[str, float]:
     t0 = time.perf_counter()
     brute_force_topk(emb, q, k=10)
     out["ann_bruteforce"] = round(time.perf_counter() - t0, 3)
+
+    from toshi_ray.ops.dedup import embedding_near_dup_pairs
+    from toshi_ray.ops.textstats import lang_id, quality_score, token_stats
+    from toshi_ray.ops.windows import tumbling_window_agg
+
+    t0 = time.perf_counter()
+    token_stats(docs).count()
+    quality_score(docs).count()
+    lang_id(docs).count()
+    out["textstats_3ops"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    tumbling_window_agg(
+        ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    ).count()
+    out["events_window"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    embedding_near_dup_pairs(emb, threshold=0.3, n_planes=8).count()
+    out["embed_near_dup"] = round(time.perf_counter() - t0, 3)
     return out
 
 

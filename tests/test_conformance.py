@@ -325,6 +325,10 @@ def test_error_range_on_date_field(ray_session, tmp_path):
     with pytest.raises(QueryError) as e:
         s.search({"query": {"range": {"ts": {"gte": 0, "lte": 10}}}})
     assert "Range queries are only supported for i64 and u64 fields" in str(e.value)
+    # sort-by on a date fast field works (value-as-score = epoch micros)
+    r = s.search({"query": None, "sort_by": "ts", "limit": 2})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [1, 0]
+    assert [d["score"] for d in r["docs"]] == [2_000_000.0, 1_000_000.0]
 
 
 def test_distributed_matches_local(searcher):

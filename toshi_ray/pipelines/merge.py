@@ -441,7 +441,11 @@ def merge_segments(
         ),
         batch_format="pyarrow",
     ).take_all()
-    hot = {(r["field"], r["term"]) for r in hot_tbl}
+    # hot set as a joined field\x00term key array → vectorized is_in in
+    # the tag stage (tokens can't contain \x00; fields are identifiers)
+    hot_keys = pa.array(
+        sorted({f"{r['field']}\x00{r['term']}" for r in hot_tbl}), type=pa.string()
+    )
 
     n_parts = 64  # coarse shuffle partitions; each merges vectorized
 
@@ -450,14 +454,16 @@ def merge_segments(
 
         if tombs.size:
             batch = apply_tombstones_to_postings(batch, tombs)
-        f = batch["field"].to_pylist()
-        t = batch["term"].to_pylist()
-        fd = batch["first_doc"].to_numpy(zero_copy_only=False)
-        shard_out = np.where(
-            [(x, y) in hot for x, y in zip(f, t)],
-            (fd // shard_span).astype(np.int64),
-            0,
+        key = pa.compute.binary_join_element_wise(
+            batch["field"].combine_chunks().cast(pa.string()),
+            batch["term"].combine_chunks().cast(pa.string()),
+            "\x00",
         )
+        is_hot = pa.compute.is_in(key, value_set=hot_keys).to_numpy(
+            zero_copy_only=False
+        )
+        fd = batch["first_doc"].to_numpy(zero_copy_only=False)
+        shard_out = np.where(is_hot, (fd // shard_span).astype(np.int64), 0)
         batch = batch.append_column("shard_out", pa.array(shard_out, type=pa.int64()))
         th = _hash_strings(batch["term"].combine_chunks().cast(pa.large_binary()))
         part = (_mix(th ^ shard_out.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)

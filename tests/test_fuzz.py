@@ -126,3 +126,80 @@ def test_executor_total_on_valid_trees(fuzz_searcher, q, limit):
     assert len(r["docs"]) == r["hits"]
     scores = [d["score"] for d in r["docs"]]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- raw-grammar parser totality (round 2: recursive-descent rewrite) ---
+
+_raw_schema = None
+
+
+def _get_raw_schema():
+    global _raw_schema
+    if _raw_schema is None:
+        from toshi_ray.schema import FieldDef, Schema
+
+        _raw_schema = Schema.build(
+            FieldDef("text", "text"),
+            FieldDef("n", "i64", fast=True),
+            FieldDef("u", "u64", fast=True),
+        )
+    return _raw_schema
+
+
+raw_strings = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+raw_structured = st.lists(
+    st.sampled_from(
+        ["(", ")", "+", "-", "AND", "OR", "NOT", "*", "text:", "n:", "u:",
+         "spark", '"a b"', "[1 TO 5]", "{2 TO *}", "^2", "^1.5", ":"]
+    ),
+    min_size=1, max_size=8,
+).map(" ".join)
+
+
+@given(raw_strings)
+@settings(max_examples=300, deadline=None)
+def test_parse_raw_total_random(s):
+    from toshi_ray.query import parse_raw
+
+    try:
+        parse_raw(s, _get_raw_schema())
+    except QueryError:
+        pass  # the only acceptable failure mode
+
+
+@given(raw_structured)
+@settings(max_examples=300, deadline=None)
+def test_parse_raw_total_structured(s):
+    from toshi_ray.query import parse_raw
+
+    try:
+        parse_raw(s, _get_raw_schema())
+    except QueryError:
+        pass
+
+
+raw_exec_structured = st.lists(
+    st.sampled_from(
+        ["(", ")", "+", "-", "AND", "OR", "NOT", "*",
+         "test_text:document", "test_text:\"test document\"", "document",
+         "test_i64:[2014 TO 2018]", "test_i64:{-3000 TO *}", "test_text:zzz^2"]
+    ),
+    min_size=1, max_size=6,
+).map(" ".join)
+
+
+@given(raw_exec_structured, st.integers(1, 10))
+@settings(max_examples=150, deadline=None)
+def test_executor_total_on_raw_queries(fuzz_searcher, s, limit):
+    """Parsed raw trees (incl. BoostQuery / raw ranges / groups) execute
+    without crashing and keep result invariants."""
+    try:
+        r = fuzz_searcher.search({"query": {"raw": s}, "limit": limit})
+    except QueryError:
+        return
+    assert 0 <= r["hits"] <= limit
+    assert len(r["docs"]) == r["hits"]
+    scores = [d["score"] for d in r["docs"]]
+    assert scores == sorted(scores, reverse=True)

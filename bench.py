@@ -280,25 +280,31 @@ def _hw_burn(_):
     return n
 
 
-def _hardware_scaling_probe(lo: int, hi: int) -> dict:
+def _hardware_scaling_probe(lo: int, hi: int, repeats: int = 3) -> dict:
     """Aggregate numpy-sort throughput at lo vs hi processes — measures
     what THIS box can physically deliver for memory-heavy concurrent
     work (the sandbox VM saturates its memory subsystem well below 32
     procs; see BASELINE.md). Pipeline efficiency is reported raw AND
-    normalized by this ceiling."""
+    normalized by this ceiling.
+
+    Interleaved best-of-N per level: a single lo/hi pair can land in
+    different noise phases and make the ratio meaningless (observed
+    0.7 → 45 sorts/s across one pair)."""
     import multiprocessing as mp
 
     burn = _hw_burn
-    out = {}
-    for procs in (lo, hi):
-        with mp.Pool(procs) as p:
-            t0 = time.time()
-            res = p.map(burn, range(procs))
-            out[procs] = sum(res) / (time.time() - t0)
+    best = {lo: 0.0, hi: 0.0}
+    for _ in range(repeats):
+        for procs in (lo, hi):
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                res = p.map(burn, range(procs))
+                thr = sum(res) / (time.time() - t0)
+            best[procs] = max(best[procs], thr)
     return {
-        "sorts_per_sec_lo": round(out[lo], 2),
-        "sorts_per_sec_hi": round(out[hi], 2),
-        "hw_scaling_efficiency": round((out[hi] / out[lo]) / (hi / lo), 3),
+        "sorts_per_sec_lo": round(best[lo], 2),
+        "sorts_per_sec_hi": round(best[hi], 2),
+        "hw_scaling_efficiency": round((best[hi] / best[lo]) / (hi / lo), 3),
     }
 
 

@@ -157,9 +157,9 @@ class SegmentGroupScorer:
             by_field.setdefault(f, []).append(t)
         for r in self.readers:
             for f, terms in by_field.items():
-                tbl = r.postings_for_terms(f, terms)
-                for term, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-                    out[(f, term)] = out.get((f, term), 0) + int(df)
+                # df-only path: never copies posting payloads
+                for term, df in r.df_for_terms(f, terms).items():
+                    out[(f, term)] = out.get((f, term), 0) + df
         return out
 
     # ---------------- scoring phase ----------------

@@ -368,6 +368,7 @@ class SegmentReader:
         self._docvalues: pa.Table | None = None
         self._postings_all: pa.Table | None = None
         self._term_index: dict | None = None  # field -> (sorted terms np, row idx np)
+        self._df_col: np.ndarray | None = None  # set with the term index
 
     def _postings_bytes(self) -> int:
         p = self._path(POSTINGS_FILE)
@@ -407,6 +408,7 @@ class SegmentReader:
             return
         t = self.all_postings()
         self._term_index = {}
+        self._df_col = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         fields = t["field"].to_numpy(zero_copy_only=False)
         terms = t["term"].to_numpy(zero_copy_only=False)
         for f in np.unique(fields):
@@ -414,6 +416,35 @@ class SegmentReader:
             ft = terms[rows]
             order = np.argsort(ft, kind="stable")  # shard rows keep order (stable)
             self._term_index[f] = (ft[order], rows[order])
+
+    def df_for_terms(self, field: str, terms: list[str]) -> dict[str, int]:
+        """{term: df summed across shard rows} WITHOUT touching the
+        posting payload columns — the stats phase only needs df, and a
+        hot term's payload is MBs it must not copy."""
+        if self.cache_postings:
+            self._ensure_term_index()
+            idx = self._term_index.get(field)
+            if idx is None:
+                return {}
+            sorted_terms, rows = idx
+            want = np.asarray(sorted(terms), dtype=object)
+            lo = np.searchsorted(sorted_terms, want, side="left")
+            hi = np.searchsorted(sorted_terms, want, side="right")
+            return {
+                t: int(self._df_col[rows[a:b]].sum())
+                for t, a, b in zip(want, lo, hi)
+                if b > a
+            }
+        import pyarrow.dataset as pads
+
+        expr = (pads.field("field") == field) & pads.field("term").isin(terms)
+        t = pq.read_table(
+            self._path(POSTINGS_FILE), columns=["term", "df"], filters=expr
+        )
+        out: dict[str, int] = {}
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            out[term] = out.get(term, 0) + int(df)
+        return out
 
     def postings_for_terms(self, field: str, terms: list[str]) -> pa.Table:
         if self.cache_postings:

@@ -197,3 +197,50 @@ def test_buffered_bulk_then_flush(ray_session):
         c.bulk_insert("test_index", BULK_BAD)
     c.flush("test_index")
     assert c.all_docs("test_index")["hits"] == 3
+
+
+def test_bulk_index_ndjson_distributed(ray_session, tmp_path):
+    """Distributed NDJSON ingest: files → validated Dataset → index;
+    a bad value anywhere aborts the job with nothing published."""
+    import json
+    import os
+
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.search import Searcher
+    from toshi_ray.sources.ndjson import bulk_index_ndjson
+
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("url", "text", indexed=False),
+        FieldDef("text", "text"),
+        FieldDef("n", "u64", fast=True),
+    )
+    good = tmp_path / "good.ndjson"
+    with open(good, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"url": f"http://x/{i}", "text": f"alpha doc {i}",
+                                "n": i}) + "\n")
+    root = str(tmp_path / "idx")
+    m = bulk_index_ndjson([str(good)], schema, root, id_col="url",
+                          docs_per_segment=8)
+    assert m["metrics"]["num_docs"] == 20
+    s = Searcher(root, distributed=False)
+    assert s.count({"query": {"term": {"text": "alpha"}}}) == 20
+    # ids are stable: re-ingest to a fresh root gives identical doc ids
+    root2 = str(tmp_path / "idx2")
+    bulk_index_ndjson([str(good)], schema, root2, id_col="url",
+                      docs_per_segment=5)
+    s2 = Searcher(root2, distributed=False)
+    a = sorted(s.match_doc_ids({"query": {"term": {"text": "alpha"}}}).tolist())
+    b = sorted(s2.match_doc_ids({"query": {"term": {"text": "alpha"}}}).tolist())
+    assert a == b
+
+    # rollback: a negative u64 anywhere fails the job, nothing published
+    bad = tmp_path / "bad.ndjson"
+    with open(bad, "w") as f:
+        f.write(json.dumps({"url": "http://x/bad", "text": "beta", "n": -5}) + "\n")
+    root3 = str(tmp_path / "idx3")
+    with pytest.raises(Exception) as e:
+        bulk_index_ndjson([str(good), str(bad)], schema, root3, id_col="url")
+    assert "expected u64" in str(e.value)
+    assert not os.path.exists(os.path.join(root3, "manifest.json"))

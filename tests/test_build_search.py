@@ -336,6 +336,63 @@ def test_blockmax_prunes_and_stays_exact(ray_session):
     assert [d["doc"]["doc_id"] for d in r["docs"]] == [g[0] for g in got]
 
 
+def test_union_blockmax_exact_and_prunes(ray_session):
+    """Pure-disjunction (should-only) queries go through the region-
+    overlay block-max WAND: identical top-k to exhaustive eval, with
+    blocks skipped on a skewed corpus."""
+    import pyarrow as pa
+    import ray
+
+    from toshi_ray.search import SegmentGroupScorer
+
+    n = 4000
+    texts = []
+    for i in range(n):
+        tf_a = 40 if (i // 128) % 10 == 0 else 1
+        tf_b = 30 if (i // 128) % 7 == 3 else 1
+        texts.append(" ".join(["hot"] * tf_a + ["warm"] * tf_b
+                              + ["w%04d" % (i % 97)] * 2))
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.uint64()), "text": texts})
+    root = tempfile.mkdtemp(prefix="toshi_ubmw_")
+    build_index(ray.data.from_arrow(tbl), Schema.build(
+        FieldDef("doc_id", "u64", fast=True), FieldDef("text", "text")), root,
+        docs_per_segment=n)
+
+    s = Searcher(root, distributed=False)
+    s._ensure_groups()
+    scorer: SegmentGroupScorer = s._groups[0][1]
+    q = {"bool": {"should": [{"term": {"text": "hot"}},
+                             {"term": {"text": "warm"}}]}}
+    plan = s._plan({"query": q}).query
+    stats = s._stats_for(plan)
+
+    ex_ids, ex_scores = scorer._eval(plan, scorer.readers[0], stats)
+    order = np.lexsort((ex_ids, -ex_scores))[:10]
+    want = list(zip(ex_ids[order].tolist(),
+                    np.round(ex_scores[order], 12).tolist()))
+    ids, scores = scorer._topk_union_blockmax(plan, scorer.readers[0], stats, 10)
+    got = list(zip(ids.tolist(), np.round(scores, 12).tolist()))
+    assert got == want
+    pc = scorer.perf_counters()
+    assert pc["blocks_decoded"] < pc["blocks_total"], pc  # pruning happened
+    # the public path returns the same ranking
+    r = s.search({"query": q, "limit": 10})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [g[0] for g in got]
+    # union path + tombstones agrees with generic eval after a delete
+    delete_by_term(root, "text", "w0000")
+    s2 = Searcher(root, distributed=False)
+    r2 = s2.search({"query": q, "limit": 10})
+    s2._ensure_groups()
+    sc2: SegmentGroupScorer = s2._groups[0][1]
+    st2 = s2._stats_for(s2._plan({"query": q}).query)
+    e_ids, e_sc = sc2._eval(s2._plan({"query": q}).query, sc2.readers[0], st2)
+    if st2.tombstones is not None:
+        keep = ~np.isin(e_ids, st2.tombstones)
+        e_ids, e_sc = e_ids[keep], e_sc[keep]
+    o2 = np.lexsort((e_ids, -e_sc))[:10]
+    assert [d["doc"]["doc_id"] for d in r2["docs"]] == e_ids[o2].tolist()
+
+
 def test_conjunction_skip_exact_and_prunes(ray_session):
     """must-AND of a rare and a hot term: skip-pointer path must decode
     only the hot term's blocks that overlap the rare term's docs, and

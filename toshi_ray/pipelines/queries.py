@@ -233,6 +233,21 @@ def q_raw_boost_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bool_should_topk(sf_dir: str) -> pd.DataFrame:
+    """Pure disjunction → block-max union WAND path; full BM25 sum of
+    matched clauses, checked value-for-value."""
+    s = searcher_for(sf_dir)
+    q = {"bool": {"should": [{"term": {"text": "spark"}},
+                             {"term": {"text": "window"}}]}}
+    r = s.search({"query": q, "limit": 20})
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
 def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     r = s.search({"query": {"phrase": {"text": {"terms": ["group", "sort"]}}}, "limit": 50})
@@ -575,6 +590,34 @@ ORDER BY (ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
 LIMIT 50
 """
 
+    # BM25 sum over a two-term disjunction (the union-WAND path)
+    t1, t2 = "spark", "window"
+    c1 = ("ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * 2.2 * q.tf1"
+          " / (q.tf1 + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n)))")
+    c2 = ("ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * 2.2 * q.tf2"
+          " / (q.tf2 + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n)))")
+    both = (f"(CASE WHEN q.tf1 > 0 THEN {c1} ELSE 0 END"
+            f" + CASE WHEN q.tf2 > 0 THEN {c2} ELSE 0 END)")
+    sql["bool_should_topk"] = f"""
+WITH {TOKENS_CTE},
+{_norm_values_sql()},
+base AS (SELECT doc_id, len(tk) AS dl_raw,
+                len(list_filter(tk, t -> t = '{t1}')) AS tf1,
+                len(list_filter(tk, t -> t = '{t2}')) AS tf2
+         FROM toks),
+quant AS (SELECT b.*, (SELECT max(val) FROM norm_table v WHERE v.val <= b.dl_raw) AS dl
+          FROM base b),
+stats AS (SELECT count(*) AS n, sum(dl_raw) AS total,
+                 count(*) FILTER (tf1 > 0) AS df1,
+                 count(*) FILTER (tf2 > 0) AS df2
+          FROM base)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+       CAST(floor({both} * 10000.0) AS BIGINT) AS score_x1e4
+FROM quant q, stats s WHERE q.tf1 > 0 OR q.tf2 > 0
+ORDER BY {both} DESC, q.doc_id
+LIMIT 20
+"""
+
     sql["term_matches"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
@@ -809,6 +852,7 @@ QUERIES = {
     "raw_topk": q_raw_topk,
     "raw_grouped": q_raw_grouped,
     "raw_boost_topk": q_raw_boost_topk,
+    "bool_should_topk": q_bool_should_topk,
     "term_matches": q_term_matches,
     "phrase_topk": q_phrase_topk,
     "phrase_matches": q_phrase_matches,

@@ -186,9 +186,28 @@ class SegmentGroupScorer:
             and fd.is_text
             and fd.indexed
         )
+        # block-max UNION: pure disjunction of text terms (should-only
+        # bool) → region-overlay WAND, skipped blocks never decoded
+        use_union = (
+            sort_by is None
+            and not facets
+            and isinstance(plan, BoolQuery)
+            and not plan.must
+            and not plan.must_not
+            and len(plan.should) >= 2
+            and all(
+                isinstance(q, TermQuery)
+                and (fd := self.schema.field(q.field)) is not None
+                and fd.is_text
+                and fd.indexed
+                for q in plan.should
+            )
+        )
         for si, reader in enumerate(self.readers):
             if use_blockmax:
                 doc_ids, scores = self._topk_term_blockmax(plan, reader, stats, k)
+            elif use_union:
+                doc_ids, scores = self._topk_union_blockmax(plan, reader, stats, k)
             else:
                 doc_ids, scores = self._eval(plan, reader, stats)
             if stats.tombstones is not None and stats.tombstones.size and doc_ids.size:
@@ -345,6 +364,123 @@ class SegmentGroupScorer:
         scores = np.concatenate(cand_scores)
         order = np.lexsort((ids, -scores))[:k]
         return ids[order], scores[order]
+
+    def _topk_union_blockmax(self, node: BoolQuery, reader: SegmentReader,
+                             stats: Stats, k: int):
+        """Block-max WAND for a pure disjunction of text terms
+        (should-only bool): overlay every term's 128-doc blocks into
+        doc-range REGIONS, bound each region by the sum of the covering
+        blocks' upper bounds, and process regions in descending bound
+        order — stop when the next region's bound is strictly below the
+        running k-th score θ. Blocks in skipped regions are never
+        decoded. Exact incl. ties (strict-inequality stop, like the
+        single-term path)."""
+        avgdl = {f: max(stats.avgdl.get(f, 0.0), 1e-9)
+                 for f in {q.field for q in node.should}}
+        per_term = []  # (field, weight, rows, lasts, ub, row_of_blk, loc_blk)
+        for q in node.should:
+            tbl = reader.postings_for_terms(q.field, [q.value])
+            if tbl.num_rows == 0:
+                continue
+            if tbl.num_rows > 1:
+                tbl = tbl.sort_by("first_doc")
+            rows = tbl.to_pylist()
+            lasts_p, ub_p, rob_p, loc_p = [], [], [], []
+            w = stats.idf.get((q.field, q.value), 0.0)
+            for ri, r in enumerate(rows):
+                lasts = np.frombuffer(r["block_last_doc"], np.uint64)
+                bmax = codecs.varint_decode(r["block_max_tf"]).astype(np.float64)
+                dlmin = id_to_fieldnorm(
+                    np.frombuffer(r["block_min_norm"], np.uint8)
+                ).astype(np.float64)
+                ub = (w * (K1 + 1.0) * bmax
+                      / (bmax + K1 * (1.0 - B + B * dlmin / avgdl[q.field])))
+                lasts_p.append(lasts)
+                ub_p.append(ub)
+                rob_p.append(np.full(lasts.size, ri, np.int64))
+                loc_p.append(np.arange(lasts.size, dtype=np.int64))
+            lasts = np.concatenate(lasts_p)
+            self.blocks_total += lasts.size
+            per_term.append((q.field, w, rows, lasts, np.concatenate(ub_p),
+                             np.concatenate(rob_p), np.concatenate(loc_p)))
+        if not per_term:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+        # region edges = union of every term's block-last boundaries;
+        # region r covers (edges[r-1], edges[r]] and never straddles any
+        # term's block boundary → one covering block (or none) per term
+        edges = np.unique(np.concatenate([t[3] for t in per_term]))
+        n_reg = edges.size
+        cover = []  # per term: block index covering each region (or n)
+        bounds = np.zeros(n_reg, np.float64)
+        for _, _, _, lasts, ub, _, _ in per_term:
+            j = np.searchsorted(lasts, edges, side="left")
+            valid = j < lasts.size
+            bounds += np.where(valid, ub[np.minimum(j, lasts.size - 1)], 0.0)
+            cover.append(np.where(valid, j, lasts.size))
+
+        order = np.argsort(-bounds, kind="stable")
+        decoded: dict = {}  # (term idx, concat block idx) -> (ids, scores)
+
+        def block_scores(ti: int, j: int):
+            key = (ti, j)
+            if key in decoded:
+                return decoded[key]
+            field, w, rows, lasts, ub, rob, loc = per_term[ti]
+            r, b = rows[int(rob[j])], int(loc[j])
+            dof = np.frombuffer(r["block_doc_offsets"], np.int32)
+            tfo = np.frombuffer(r["block_tf_offsets"], np.int32)
+            gaps = codecs.varint_decode(r["doc_ids"][dof[b]: dof[b + 1]])
+            ids = np.cumsum(gaps, dtype=np.uint64)
+            tfs = codecs.varint_decode(r["tfs"][tfo[b]: tfo[b + 1]])
+            self.blocks_decoded += 1
+            if stats.tombstones is not None and stats.tombstones.size:
+                # filter BEFORE θ accounting: tombstoned docs must not
+                # inflate the pruning threshold
+                keep = ~np.isin(ids, stats.tombstones)
+                ids, tfs = ids[keep], tfs[keep]
+            sc = self._bm25(reader, field, ids, tfs, w, stats)
+            decoded[key] = (ids, sc)
+            return decoded[key]
+
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        n_cand = 0
+        theta = -np.inf
+        for r in order:
+            if n_cand >= k and bounds[r] < theta:
+                break
+            lo = edges[r - 1] if r > 0 else np.uint64(0)
+            hi = edges[r]
+            parts_i, parts_s = [], []
+            for ti, covj in enumerate(cover):
+                j = int(covj[r])
+                if j >= per_term[ti][3].size:
+                    continue
+                ids, sc = block_scores(ti, j)
+                m = (ids <= hi) if r == 0 else ((ids > lo) & (ids <= hi))
+                if m.any():
+                    parts_i.append(ids[m])
+                    parts_s.append(sc[m])
+            if not parts_i:
+                continue
+            ids = np.concatenate(parts_i)
+            sc = np.concatenate(parts_s)
+            uids, inv = np.unique(ids, return_inverse=True)
+            usc = np.zeros(uids.size, np.float64)
+            np.add.at(usc, inv, sc)
+            cand_ids.append(uids)
+            cand_scores.append(usc)
+            n_cand += uids.size
+            if n_cand >= k:
+                allsc = np.concatenate(cand_scores)
+                theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+        if not cand_ids:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        order2 = np.lexsort((ids, -scores))[:k]
+        return ids[order2], scores[order2]
 
     def _bm25(self, reader, field, doc_ids, tfs, weight_idf, stats: Stats) -> np.ndarray:
         dl = self._norm_lookup(reader, field, doc_ids).astype(np.float64)

@@ -244,3 +244,27 @@ def test_bulk_index_ndjson_distributed(ray_session, tmp_path):
         bulk_index_ndjson([str(good), str(bad)], schema, root3, id_col="url")
     assert "expected u64" in str(e.value)
     assert not os.path.exists(os.path.join(root3, "manifest.json"))
+
+
+def test_searcher_auto_refresh_on_commit(ray_session):
+    """ReloadPolicy::OnCommit analogue: a polling Searcher picks up a
+    new commit without an explicit refresh call."""
+    import time
+
+    from toshi_ray.search import Searcher
+
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_refresh_"))
+    c.create_index("test_index", F2_SCHEMA)
+    c.add_document("test_index", {"document": F2_DOCS[0]})
+    s = Searcher(c._root("test_index"), distributed=False)
+    assert s.n_docs == 1
+    s.start_auto_refresh(every_s=0.1)
+    try:
+        c.add_document("test_index", {"document": F2_DOCS[1]})
+        deadline = time.time() + 10
+        while time.time() < deadline and s.n_docs != 2:
+            time.sleep(0.1)
+        assert s.n_docs == 2
+        assert s.search(None)["hits"] == 2
+    finally:
+        s.stop_auto_refresh()

@@ -491,3 +491,23 @@ def test_ivf_realistic_cells_prunes_and_recalls(ray_session, tmp_path):
     bs = set(map(tuple, bf[["query_id", "vec_id"]].values.tolist()))
     is_ = set(map(tuple, got[["query_id", "vec_id"]].values.tolist()))
     assert len(bs & is_) / len(bs) >= 0.8
+
+
+def test_exact_dedup_drop_survivors(docs):
+    """Materializing dedup keeps exactly the min-id row per distinct
+    text, with full row content preserved."""
+    from toshi_ray.ops.dedup import exact_dedup_drop
+
+    rows = exact_dedup_drop(docs).take_all()
+    got_ids = sorted(int(r["doc_id"]) for r in rows)
+    want = duckdb.sql(
+        f"SELECT min(doc_id) FROM read_parquet('{SF}/documents.parquet') "
+        f"GROUP BY text ORDER BY 1"
+    ).df().iloc[:, 0].tolist()
+    assert got_ids == want
+    # survivors carry their original text
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df().set_index("doc_id")["text"].to_dict()
+    for r in rows:
+        assert r["text"] == src[r["doc_id"]]

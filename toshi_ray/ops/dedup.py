@@ -201,6 +201,31 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     return out.select_columns([id_col, "n_copies"])
 
 
+def exact_dedup_drop(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset of SURVIVING rows (min doc_id per distinct content) —
+    the materializing variant of `exact_dedup` for corpus cleaning.
+
+    Full rows must co-locate by content hash, so this shuffles the
+    documents themselves (inherent to materializing a deduped corpus);
+    the shuffle key is a 64-partition coarse hash, winner selection is
+    a vectorized idxmin per hash inside each partition."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _hash_strings(t[col].combine_chunks().cast(pa.large_binary()))
+        t = t.append_column("_h", pa.array((h >> _U(1)).astype(np.int64)))
+        return t.append_column(
+            "_part", pa.array((h % _U(N_PAIR_PARTS)).astype(np.int64))
+        )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("_h", sort=False)[id_col].idxmin()
+        return g.loc[win].drop(columns=["_h", "_part"])
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("_part").map_groups(
+        keep, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -349,6 +349,16 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return df.astype({"doc_id": "int64", "n_copies": "int64"}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_drop(sf_dir: str) -> pd.DataFrame:
+    """Materializing dedup: the corpus rows that SURVIVE exact dedup."""
+    from toshi_ray.ops.dedup import exact_dedup_drop
+
+    rows = exact_dedup_drop(_docs_ds(sf_dir)).take_all()
+    return pd.DataFrame(
+        {"doc_id": sorted(int(r["doc_id"]) for r in rows)}
+    ).astype({"doc_id": "int64"})
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.dedup import minhash_lsh_pairs
 
@@ -728,6 +738,11 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copi
 FROM documents GROUP BY text ORDER BY doc_id
 """
 
+    sql["dedup_drop"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
     sql["simhash"] = simhash62_sql()
     sql["fingerprint"] = fingerprint_sql()
 
@@ -864,6 +879,7 @@ QUERIES = {
     "all_limit": q_all_limit,
     "sort_topk": q_sort_topk,
     "dedup_exact": q_dedup_exact,
+    "dedup_drop": q_dedup_drop,
     "dedup_minhash": q_dedup_minhash,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,

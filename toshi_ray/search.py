@@ -830,6 +830,37 @@ class Searcher:
 
     # ------------- lifecycle -------------
 
+    def start_auto_refresh(self, every_s: float = 1.0) -> None:
+        """Reload-on-commit analogue (reference `handle.rs:232`,
+        ReloadPolicy::OnCommit): poll the manifest version and refresh
+        when a new commit lands. Daemon thread; stop with
+        `stop_auto_refresh()`."""
+        import threading
+
+        if getattr(self, "_refresh_stop", None) is not None:
+            return
+        self._refresh_stop = threading.Event()
+
+        def run():
+            while not self._refresh_stop.wait(every_s):
+                try:
+                    with open(os.path.join(self.index_root, MANIFEST_FILE)) as f:
+                        v = json.load(f).get("version")
+                    if v != self.manifest.get("version"):
+                        self.refresh()
+                except Exception:
+                    pass  # mid-swap read; next tick sees the new manifest
+
+        self._refresh_thread = threading.Thread(target=run, daemon=True)
+        self._refresh_thread.start()
+
+    def stop_auto_refresh(self) -> None:
+        stop = getattr(self, "_refresh_stop", None)
+        if stop is not None:
+            stop.set()
+            self._refresh_thread.join(timeout=5)
+            self._refresh_stop = None
+
     def refresh(self) -> None:
         from toshi_ray.pipelines.build import FORMAT_VERSION
 

@@ -268,3 +268,64 @@ def test_searcher_auto_refresh_on_commit(ray_session):
         assert s.search(None)["hits"] == 2
     finally:
         s.stop_auto_refresh()
+
+
+def test_buffered_add_validates_and_ticker_survives(ray_session):
+    """A bad doc fails at ADD time on the buffered path (never staged),
+    so a later ticker commit can't blow up and lose the batch."""
+    from toshi_ray.api import AutoCommitWatcher
+
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_val_"), buffered_writes=True)
+    c.create_index("test_index", F2_SCHEMA)
+    with pytest.raises(QueryError):
+        c.add_document("test_index", {"document": {"test_i64": "not-a-number"}})
+    c.add_document("test_index", {"document": F2_DOCS[0]})
+    w = AutoCommitWatcher(c, every_s=999)
+    assert w.tick() == ["test_index"]
+    assert c.all_docs("test_index")["hits"] == 1
+
+
+def test_refresh_kills_distributed_scorer_actors(ray_session):
+    """refresh() must ray.kill the old scorer pool — a leaked pool pins
+    one CPU per commit until the cluster starves."""
+    import ray
+
+    from toshi_ray.search import Searcher
+
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_kill_"))
+    c.create_index("test_index", F2_SCHEMA)
+    c.add_document("test_index", {"document": F2_DOCS[0]})
+    s = Searcher(c._root("test_index"), distributed=True, parallelism=1)
+    s.search({"query": {"term": {"test_text": "document"}}})
+    kind, actor = s._groups[0]
+    assert kind == "ray"
+    s.refresh()
+    with pytest.raises(ray.exceptions.RayActorError):
+        ray.get(actor.perf_counters.remote())
+    s.close()
+
+
+def test_ndjson_missing_field_fills_nulls(ray_session, tmp_path):
+    """Files with differing key sets unify to one schema (typed nulls),
+    instead of crashing schema unification mid-job."""
+    import json
+
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.search import Searcher
+    from toshi_ray.sources.ndjson import bulk_index_ndjson
+
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("text", "text"),
+        FieldDef("n", "i64", fast=True),
+    )
+    a, b = tmp_path / "a.ndjson", tmp_path / "b.ndjson"
+    with open(a, "w") as f:
+        f.write(json.dumps({"doc_id": 0, "text": "alpha one", "n": 5}) + "\n")
+    with open(b, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha two"}) + "\n")  # no "n"
+    root = str(tmp_path / "idx")
+    m = bulk_index_ndjson([str(a), str(b)], schema, root, docs_per_segment=10)
+    assert m["metrics"]["num_docs"] == 2
+    s = Searcher(root, distributed=False)
+    assert s.count({"query": {"term": {"text": "alpha"}}}) == 2

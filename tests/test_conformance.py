@@ -352,3 +352,14 @@ def test_multi_search_matches_single(searcher):
     batch = searcher.multi_search(bodies)
     singles = [searcher.search(b) for b in bodies]
     assert batch == singles
+
+
+def test_raw_dangling_operator_and_detached_boost(searcher):
+    # tantivy's QueryParser rejects trailing operators and a
+    # whitespace-separated caret; so do we (golden syntax error)
+    for bad in ["document NOT", "document +", "document ^2", "NOT"]:
+        with pytest.raises(QueryError) as e:
+            hits(searcher, {"raw": bad})
+        assert str(e.value) == f"Error in Index: 'Syntax Error: {bad}'", bad
+    # adjacent boost still works
+    assert hits(searcher, {"raw": "document^2"})["hits"] == 3

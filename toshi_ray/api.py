@@ -61,8 +61,14 @@ class AutoCommitWatcher:
         return self
 
     def _run(self) -> None:
+        import logging
+
         while not self._stop.wait(self.every_s):
-            self.tick()
+            try:
+                self.tick()
+            except Exception:
+                # one failing commit must not kill the ticker thread
+                logging.getLogger("toshi_ray.api").exception("auto-commit tick failed")
 
     def tick(self) -> list[str]:
         """One watcher pass; returns the indexes committed (callable
@@ -97,6 +103,7 @@ class IndexCatalog:
         self.buffered_writes = buffered_writes
         self._pending: dict[str, list[dict]] = {}
         self._opstamp: dict[str, int] = {}
+        self._mutex = threading.Lock()  # guards _pending/_opstamp (ticker thread)
         self._bulk_lock = threading.Event()
         self._watcher: AutoCommitWatcher | None = None
         if auto_commit_s:
@@ -160,10 +167,17 @@ class IndexCatalog:
     # ---- S7: flush/commit (publish pending docs + bump the version) ----
     def flush(self, name: str) -> dict:
         root = self._require(name)
-        pending = self._pending.pop(name, [])
-        self._opstamp[name] = 0
+        with self._mutex:
+            pending = self._pending.pop(name, [])
+            self._opstamp[name] = 0
         if pending:
-            self._append_docs(name, pending)
+            try:
+                self._append_docs(name, pending)
+            except Exception:
+                with self._mutex:  # re-stage: a failed commit loses nothing
+                    self._pending[name] = pending + self._pending.get(name, [])
+                    self._opstamp[name] = self._opstamp.get(name, 0) + len(pending)
+                raise
             return {"opstamp": load_manifest(root)["version"]}
         manifest = load_manifest(root)
         m = publish_manifest(root, manifest["segments"],
@@ -180,8 +194,12 @@ class IndexCatalog:
             raise QueryError.index("The provided string is not valid JSON")
         if self.buffered_writes:
             self._require(name)
-            self._pending.setdefault(name, []).append(doc)
-            self._opstamp[name] = self._opstamp.get(name, 0) + 1
+            # validate NOW: a bad doc must fail this call, not kill a
+            # later ticker commit with the whole batch staged
+            self._validate(self._schema(name), doc)
+            with self._mutex:
+                self._pending.setdefault(name, []).append(doc)
+                self._opstamp[name] = self._opstamp.get(name, 0) + 1
             if body.get("options", {}).get("commit"):
                 self.flush(name)
         else:
@@ -216,8 +234,9 @@ class IndexCatalog:
             # commit = the rollback guarantee: a bad line above aborted
             # before any publish)
             if self.buffered_writes:
-                self._pending.setdefault(name, []).extend(docs)
-                self._opstamp[name] = self._opstamp.get(name, 0) + len(docs)
+                with self._mutex:
+                    self._pending.setdefault(name, []).extend(docs)
+                    self._opstamp[name] = self._opstamp.get(name, 0) + len(docs)
             else:
                 self._append_docs(name, docs)
             return {"docs": len(docs)}

@@ -135,23 +135,35 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(pred, batch_format="pyarrow")
 
 
-def fingerprint(ds, col: str = "text", id_col: str = "doc_id"):
+def fingerprint(ds, col: str = "text", id_col: str = "doc_id",
+                token_hash: str = "fast"):
     """→ (doc_id, fp): rolling polynomial hash over the token stream —
     an order-sensitive document fingerprint.
 
-    Arithmetic is mod 2^31−1 with token hashes from `_poly_hash31`, so
-    every step fits signed 64-bit AND is expressible in ANSI SQL
-    (list_reduce Horner in the DuckDB oracle recomputes it
-    value-for-value)."""
-    from toshi_ray.ops.dedup import _M31, _poly_hash31
+    ``token_hash="fast"`` (default): 64-bit FNV token hashes folded mod
+    2^61−1 — the production identity path (collision space matters: at
+    2^31 a 50k-doc corpus already expects colliding pairs).
+    ``token_hash="sql"``: mod 2^31−1 with `_poly_hash31` tokens — every
+    step BIGINT-safe and recomputed value-for-value by the DuckDB
+    oracle (list_reduce Horner). Same recurrence either way."""
+    from toshi_ray.ops.dedup import _M31, _hash_strings, _poly_hash31
 
     def fp(t: pa.Table) -> pa.Table:
         tc = _tokenize(t, col)
         n = t.num_rows
-        th = _poly_hash31(tc.terms)
-        out = np.zeros(n, dtype=np.int64)
+        if token_hash == "sql":
+            th = _poly_hash31(tc.terms)
+            base, mod = np.int64(1_000_003), _M31
+            out = np.zeros(n, dtype=np.int64)
+        else:
+            mod61 = _U((1 << 61) - 1)
+            th = (_hash_strings(tc.terms) % mod61).astype(_U)
+            base, mod = _U(1_000_003), mod61
+            out = np.zeros(n, dtype=_U)
         # horner over each doc's token stream; loop bounded by max doc
-        # length, vectorized across docs
+        # length, vectorized across docs. fast path: out*base < 2^81
+        # wraps uint64 — fine for an identity hash (still deterministic
+        # and batch-invariant), the explicit mod keeps values < 2^61.
         counts = np.bincount(tc.doc_index, minlength=n)
         offs = np.zeros(n + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
@@ -159,7 +171,7 @@ def fingerprint(ds, col: str = "text", id_col: str = "doc_id"):
         for j in range(max_len):
             sel = counts > j
             idx = offs[:-1][sel] + j
-            out[sel] = (out[sel] * np.int64(1_000_003) + th[idx]) % _M31
+            out[sel] = (out[sel] * base + th[idx]) % mod
         return pa.table({id_col: t[id_col], "fp": pa.array(out)})
 
     return ds.map_batches(fp, batch_format="pyarrow")

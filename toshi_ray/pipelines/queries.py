@@ -408,7 +408,11 @@ def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.dedup import embedding_near_dup_pairs
 
     rows = embedding_near_dup_pairs(
-        _emb_ds(sf_dir), threshold=0.3, n_planes=4, planes="axis"
+        _emb_ds(sf_dir), threshold=0.3, n_planes=4, planes="axis",
+        # the SQL twin does the FULL per-bucket join — disable the
+        # oversized-bucket star cap here or the two sides diverge on
+        # corpora where a 16-bucket split exceeds the default cap
+        bucket_cap=1 << 30,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -537,7 +541,7 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import fingerprint
 
-    rows = fingerprint(_docs_ds(sf_dir)).take_all()
+    rows = fingerprint(_docs_ds(sf_dir), token_hash="sql").take_all()
     df = pd.DataFrame(rows)
     df["fp"] = df["fp"].astype("int64")  # mod 2^31-1, BIGINT-safe
     return df.sort_values("doc_id").reset_index(drop=True)

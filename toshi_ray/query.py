@@ -293,6 +293,7 @@ def _tokenize_raw(raw: str) -> list[tuple[str, Any]]:
     toks: list[tuple[str, Any]] = []
     pos = 0
     prev_word_end = -1
+    prev_tok_end = -1  # end of the previous non-whitespace token
     while pos < len(raw):
         m = _TOKEN_RE.match(raw, pos)
         if not m:
@@ -302,8 +303,14 @@ def _tokenize_raw(raw: str) -> list[tuple[str, Any]]:
             or (m.end() < len(raw) and (raw[m.end()].isalnum() or raw[m.end()] in "_."))
         ):
             raise QueryError.index(f"Syntax Error: {raw}")
+        if m.group("boost") and m.start() != prev_tok_end:
+            # a detached caret ('a ^2') is a syntax error like the
+            # reference's QueryParser — boost binds to its clause
+            raise QueryError.index(f"Syntax Error: {raw}")
         if m.group("word"):
             prev_word_end = m.end()
+        if not m.group("ws"):
+            prev_tok_end = m.end()
         pos = m.end()
         if m.group("ws"):
             continue
@@ -439,6 +446,8 @@ def _parse_seq(toks, i: int, schema, raw: str):
         if node is not None:  # analysis may drop a clause (all-stop tokens)
             items.append((pending or "?", node))
         pending = None
+    if pending is not None:  # dangling NOT / + / - with no clause
+        raise QueryError.index(f"Syntax Error: {raw}")
     if not items:
         raise QueryError.index(f"Syntax Error: {raw}")
     if len(items) == 1 and items[0][0] in ("?", "+"):

@@ -896,16 +896,22 @@ class Searcher:
         return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
 
     def _teardown_groups(self):
+        """Drop scorer groups, KILLING ray actors — refresh() runs this
+        on every new commit, so leaked pools would pin one CPU each per
+        commit until the cluster starves."""
+        for kind, g in self._groups:
+            if kind == "ray":
+                try:
+                    import ray
+
+                    ray.kill(g, no_restart=True)
+                except Exception:
+                    pass
         self._groups = []
 
     def close(self) -> None:
         """Kill the scorer actor pool (frees their reserved CPUs)."""
-        for kind, g in self._groups:
-            if kind == "ray":
-                import ray
-
-                ray.kill(g, no_restart=True)
-        self._groups = []
+        self._teardown_groups()
 
     def _seg_dir(self, seg: dict) -> str:
         return os.path.join(self.index_root, SEGMENTS_DIR, seg["name"])

@@ -44,15 +44,27 @@ def read_ndjson_docs(paths, schema: Schema, *, id_col: str = "doc_id"):
         sch = Schema.from_json(schema_json)
         if id_col not in t.column_names:
             raise QueryError.index(f"Bulk ingest requires a '{id_col}' column")
-        if id_col == "doc_id":
-            ids = t["doc_id"].cast(pa.uint64())
-        else:
-            key = t[id_col].combine_chunks().cast(pa.string()).cast(pa.large_binary())
-            # top bit cleared so ids stay sortable as int64 downstream
-            ids = pa.array(_hash_strings(key) >> np.uint64(1), type=pa.uint64())
+        try:
+            if id_col == "doc_id":
+                ids = t["doc_id"].cast(pa.uint64())
+            else:
+                key = t[id_col].combine_chunks().cast(pa.string()).cast(pa.large_binary())
+                # top bit cleared so ids stay sortable as int64 downstream
+                ids = pa.array(_hash_strings(key) >> np.uint64(1), type=pa.uint64())
+        except (pa.ArrowInvalid, pa.ArrowTypeError) as ex:
+            raise QueryError.json(f"invalid doc id column '{id_col}': {ex}") from None
         cols: dict[str, pa.Array] = {"doc_id": ids}
         for f in sch.fields:
-            if f.name == "doc_id" or f.name not in t.column_names:
+            if f.name == "doc_id":
+                continue
+            if f.name not in t.column_names:
+                # field absent from this file: emit a typed null column
+                # so every block unifies to ONE schema (a block missing
+                # a column would otherwise crash schema unification
+                # mid-job instead of the documented rollback error)
+                typ = {"u64": pa.uint64(), "i64": pa.int64(),
+                       "date": pa.timestamp("us")}.get(f.type, pa.string())
+                cols[f.name] = pa.nulls(t.num_rows, type=typ)
                 continue
             col = t[f.name]
             try:

@@ -511,3 +511,32 @@ def test_exact_dedup_drop_survivors(docs):
     ).df().set_index("doc_id")["text"].to_dict()
     for r in rows:
         assert r["text"] == src[r["doc_id"]]
+
+
+def test_cleaning_ops(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.cleaning import decontaminate, normalize_text, redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["  hello   world\t\nagain ",
+                 "mail me at bob.smith+x@example.co.uk or 123456789012",
+                 "the quick brown fox jumps over the lazy dog"],
+    })
+    ds = ray.data.from_arrow(t)
+
+    norm = {r["doc_id"]: r for r in normalize_text(ds).take_all()}
+    assert norm[0]["text_norm"] == "hello world again"
+    assert norm[0]["chars_after"] == len("hello world again")
+
+    red = {r["doc_id"]: r for r in redact_pii(ds).take_all()}
+    assert red[1]["text_redacted"] == "mail me at <EMAIL> or <NUM>"
+    assert red[1]["n_emails"] == 1 and red[1]["n_long_numbers"] == 1
+    assert red[2]["n_emails"] == 0
+
+    # doc 2 shares trigrams with the reference; docs 0/1 do not
+    out = {r["doc_id"]: r for r in decontaminate(
+        ds, ["the quick brown fox is here"], n=3).take_all()}
+    assert out[2]["contaminated"] and out[2]["n_hit_ngrams"] == 2
+    assert not out[0]["contaminated"] and not out[1]["contaminated"]

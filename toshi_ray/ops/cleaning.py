@@ -1,0 +1,106 @@
+"""Corpus-cleaning operators — text normalization, PII redaction,
+benchmark decontamination. The standard pre-training hygiene stages
+(e.g. GPT-3's 13-gram test-set decontamination, Appendix C of Brown et
+al. 2020), expressed as vectorized `map_batches` stages with DuckDB
+oracle twins.
+
+All three are embarrassingly parallel (no shuffle): normalization and
+redaction are pure Arrow kernels; decontamination broadcasts the
+reference n-gram set once via `ray.put` and does one `np.isin` per
+batch — the reference set (a benchmark suite) is small by definition,
+the corpus is not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# mirrored verbatim in the SQL oracles (RE2 on both engines)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9]{9,}"
+
+
+def normalize_text(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, text_norm, chars_before, chars_after): NFC-normalize,
+    collapse whitespace runs to single spaces, trim."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
+        before = pc.utf8_length(s)
+        out = pc.utf8_normalize(s, form="NFC")
+        out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+        # trim plain spaces only (after the collapse, edges can only be
+        # ' ') — keeps exact parity with SQL trim()
+        out = pc.utf8_trim(out, characters=" ")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_norm": out,
+                "chars_before": before.cast(pa.int64()),
+                "chars_after": pc.utf8_length(out).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def redact_pii(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, text_redacted, n_emails, n_long_numbers): replace
+    email addresses and ≥9-digit runs with sentinel tokens."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
+        n_email = pc.count_substring_regex(s, pattern=EMAIL_RE)
+        out = pc.replace_substring_regex(s, pattern=EMAIL_RE, replacement="<EMAIL>")
+        n_num = pc.count_substring_regex(out, pattern=LONG_NUM_RE)
+        out = pc.replace_substring_regex(out, pattern=LONG_NUM_RE, replacement="<NUM>")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_redacted": out,
+                "n_emails": n_email.cast(pa.int64()),
+                "n_long_numbers": n_num.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def decontaminate(ds, ref_texts: list[str], *, n: int = 8,
+                  col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, n_hit_ngrams, contaminated): flag documents sharing
+    any token n-gram with a reference (benchmark/test) text set.
+
+    ``n_hit_ngrams`` counts the doc's DISTINCT n-grams present in the
+    reference set. The reference n-gram hash set broadcasts once
+    (`ray.put`); each batch is one vectorized membership test."""
+    import ray
+
+    from toshi_ray.ops.dedup import _unique_shingle_sets
+
+    ref_flat, _ = _unique_shingle_sets(
+        pa.array(ref_texts, type=pa.string()), n
+    )
+    ref_set = np.unique(ref_flat)
+    ref_handle = ray.put(ref_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ref = ray.get(ref_handle)
+        flat, offs = _unique_shingle_sets(
+            pc.fill_null(t[col].combine_chunks().cast(pa.string()), ""), n
+        )
+        hit = np.isin(flat, ref)
+        sizes = np.diff(offs)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), sizes)
+        per_doc = np.bincount(doc_of[hit], minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hit_ngrams": pa.array(per_doc),
+                "contaminated": pa.array(per_doc > 0),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -467,6 +467,49 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return df.drop(columns=["score"]).astype({"query_id": "int64", "vec_id": "int64"})
 
 
+def q_text_normalize(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.cleaning import normalize_text
+
+    rows = normalize_text(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"doc_id": "int64", "chars_before": "int64", "chars_after": "int64"})
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    from toshi_ray.ops.cleaning import redact_pii
+
+    rows = redact_pii(_docs_ds(sf_dir)).take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"doc_id": "int64", "n_emails": "int64", "n_long_numbers": "int64"})
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_decontam(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag docs sharing any token trigram
+    with the 'reference set' = docs 0-2 of the same table (a stand-in
+    benchmark; deterministic for the oracle)."""
+    import pyarrow.parquet as pq
+
+    from toshi_ray.ops.cleaning import decontaminate
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ref = t.filter(pa.array(ids < 3))["text"].to_pylist()
+    rows = decontaminate(_docs_ds(sf_dir), ref, n=3).take_all()
+    df = pd.DataFrame(rows)
+    df["contaminated"] = df["contaminated"].astype("int64")
+    return (
+        df.astype({"doc_id": "int64", "n_hit_ngrams": "int64"})
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import token_stats
 
@@ -846,6 +889,51 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM v ORDER BY doc_id
 """
 
+    sql["text_normalize"] = """
+WITH v AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS tn
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tn AS text_norm,
+       CAST(length(text) AS BIGINT) AS chars_before,
+       CAST(length(tn) AS BIGINT) AS chars_after
+FROM v ORDER BY doc_id
+"""
+
+    email = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+    num = "[0-9]{9,}"
+    sql["pii_redact"] = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(t1, '{num}', '<NUM>', 'g') AS text_redacted,
+       n_emails,
+       CAST(len(regexp_extract_all(t1, '{num}')) AS BIGINT) AS n_long_numbers
+FROM s1 ORDER BY doc_id
+"""
+
+    sql["decontam"] = f"""
+WITH {TOKENS_CTE},
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM toks),
+ref AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id < 3),
+u AS (SELECT doc_id, unnest(sh) AS s FROM g),
+hits AS (SELECT u.doc_id, count(*) AS n_hit FROM u JOIN ref ON u.s = ref.s
+         GROUP BY u.doc_id)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+       CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+ORDER BY doc_id
+"""
+
     lang_counts = ",\n         ".join(
         f"len(list_filter(tk, t -> list_contains({_stop_list_sql(l)}, t))) AS c_{l}"
         for l in LANG_ORDER
@@ -890,6 +978,9 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "text_normalize": q_text_normalize,
+    "pii_redact": q_pii_redact,
+    "decontam": q_decontam,
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,

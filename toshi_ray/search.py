@@ -56,7 +56,7 @@ from toshi_ray.query import (
     parse_raw,
 )
 from toshi_ray.schema import Schema
-from toshi_ray.segments import SegmentReader
+from toshi_ray.segments import POSTINGS_SANS_POSITIONS, SegmentReader
 
 K1 = 1.2
 B = 0.75
@@ -294,7 +294,7 @@ class SegmentGroupScorer:
         doc ranges) so the concatenation is globally doc-id sorted
         regardless of on-disk row order — merged postings are only
         sorted WITHIN each shuffle partition file."""
-        tbl = reader.postings_for_terms(field, [term])
+        tbl = reader.postings_for_terms(field, [term], POSTINGS_SANS_POSITIONS)
         if tbl.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64), []
         if tbl.num_rows > 1:
@@ -315,7 +315,7 @@ class SegmentGroupScorer:
         candidates are always examined)."""
         field = node.field
         w = stats.idf.get((field, node.value), 0.0)
-        tbl = reader.postings_for_terms(field, [node.value])
+        tbl = reader.postings_for_terms(field, [node.value], POSTINGS_SANS_POSITIONS)
         if tbl.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         rows = tbl.to_pylist()
@@ -379,7 +379,7 @@ class SegmentGroupScorer:
                  for f in {q.field for q in node.should}}
         per_term = []  # (field, weight, rows, lasts, ub, row_of_blk, loc_blk)
         for q in node.should:
-            tbl = reader.postings_for_terms(q.field, [q.value])
+            tbl = reader.postings_for_terms(q.field, [q.value], POSTINGS_SANS_POSITIONS)
             if tbl.num_rows == 0:
                 continue
             if tbl.num_rows > 1:
@@ -675,7 +675,7 @@ class SegmentGroupScorer:
         candidate doc (skip-pointer conjunction via `block_last_doc`).
         Returns (doc_ids, tfs) restricted to the decoded blocks — a
         superset of matches within ``cand``'s range."""
-        tbl = reader.postings_for_terms(field, [term])
+        tbl = reader.postings_for_terms(field, [term], POSTINGS_SANS_POSITIONS)
         if tbl.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         id_parts, tf_parts = [], []

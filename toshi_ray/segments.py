@@ -337,6 +337,9 @@ def write_segment(
 
 POSTINGS_CACHE_MAX_BYTES = 256 << 20  # above this, pushdown instead of caching
 
+# every postings column EXCEPT positions — the projection term scoring uses
+POSTINGS_SANS_POSITIONS = [n for n, _ in POSTINGS_SCHEMA_FIXED if n != "positions"]
+
 
 class SegmentReader:
     """Lazy reader over one segment directory.
@@ -446,12 +449,20 @@ class SegmentReader:
             out[term] = out.get(term, 0) + int(df)
         return out
 
-    def postings_for_terms(self, field: str, terms: list[str]) -> pa.Table:
+    def postings_for_terms(
+        self, field: str, terms: list[str], columns: list[str] | None = None
+    ) -> pa.Table:
+        """``columns`` projects the fetch — term scoring passes
+        POSTINGS_SANS_POSITIONS so the positions payload (usually the
+        largest column) is never copied for non-phrase queries."""
         if self.cache_postings:
             self._ensure_term_index()
+            src = self.all_postings()
+            if columns is not None:
+                src = src.select(columns)
             idx = self._term_index.get(field)
             if idx is None:
-                return self.all_postings().slice(0, 0)
+                return src.slice(0, 0)
             sorted_terms, rows = idx
             want = np.asarray(sorted(terms), dtype=object)
             lo = np.searchsorted(sorted_terms, want, side="left")
@@ -459,11 +470,13 @@ class SegmentReader:
             take = np.concatenate(
                 [rows[a:b] for a, b in zip(lo, hi)] or [np.empty(0, np.int64)]
             )
-            return self.all_postings().take(pa.array(np.sort(take)))
+            return src.take(pa.array(np.sort(take)))
         import pyarrow.dataset as pads
 
         expr = (pads.field("field") == field) & pads.field("term").isin(terms)
-        return pq.read_table(self._path(POSTINGS_FILE), filters=expr)
+        return pq.read_table(
+            self._path(POSTINGS_FILE), filters=expr, columns=columns
+        )
 
     def all_postings(self, field: str | None = None) -> pa.Table:
         if self._postings_all is None:

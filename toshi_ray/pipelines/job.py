@@ -22,14 +22,19 @@ import json
 import sys
 
 
-def _ensure_ray(num_cpus: int | None):
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """→ True iff WE initialized ray (then we own the shutdown; inside
+    `ray job submit` or a test session the connection already exists
+    and must be left alone)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
-        if num_cpus:
-            kwargs.update(address="local", num_cpus=num_cpus)
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+    if num_cpus:
+        kwargs.update(address="local", num_cpus=num_cpus)
+    ray.init(**kwargs)
+    return True
 
 
 def cmd_build(args) -> dict:
@@ -65,7 +70,22 @@ def cmd_search(args) -> dict:
     from toshi_ray.search import Searcher
 
     s = Searcher(args.index)
-    return s.search({"query": json.loads(args.query), "limit": args.limit})
+    out = s.search({"query": json.loads(args.query), "limit": args.limit})
+    s.close()
+    return out
+
+
+def cmd_ingest_ndjson(args) -> dict:
+    from toshi_ray.schema import Schema
+    from toshi_ray.sources.ndjson import bulk_index_ndjson
+
+    with open(args.schema) as f:
+        schema = Schema.loads(f.read())
+    manifest = bulk_index_ndjson(
+        args.input.split(","), schema, args.index,
+        id_col=args.id_col, docs_per_segment=args.docs_per_segment,
+    )
+    return {"segments": len(manifest["segments"]), "metrics": manifest["metrics"]}
 
 
 def main(argv=None) -> int:
@@ -90,13 +110,22 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--limit", type=int, default=10)
 
-    args = p.parse_args(argv)
-    _ensure_ray(args.local_cpus)
-    out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search}[args.cmd](args)
-    print(json.dumps(out))
-    import ray
+    n = sub.add_parser("ingest-ndjson")
+    n.add_argument("--input", required=True, help="comma-separated NDJSON paths")
+    n.add_argument("--index", required=True)
+    n.add_argument("--schema", required=True)
+    n.add_argument("--id-col", default="doc_id")
+    n.add_argument("--docs-per-segment", type=int, default=50_000)
 
-    ray.shutdown()
+    args = p.parse_args(argv)
+    owns_ray = _ensure_ray(args.local_cpus)
+    out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search,
+           "ingest-ndjson": cmd_ingest_ndjson}[args.cmd](args)
+    print(json.dumps(out))
+    if owns_ray:
+        import ray
+
+        ray.shutdown()
     return 0
 
 

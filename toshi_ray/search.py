@@ -921,6 +921,15 @@ class Searcher:
             return
         dirs = [self._seg_dir(s) for s in self.segments]
         n_groups = max(1, min(self.parallelism, len(dirs)))
+        if self.distributed:
+            import ray
+
+            # never request more 1-CPU actors than the cluster can
+            # schedule — an over-sized pool waits forever on actors
+            # that can never start (the first ones never release)
+            avail = int(ray.available_resources().get("CPU", 0))
+            if avail:
+                n_groups = max(1, min(n_groups, avail))
         grouped = [dirs[i::n_groups] for i in range(n_groups)]
         schema_json = self.schema.to_json()
         if self.distributed:

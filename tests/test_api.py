@@ -300,8 +300,18 @@ def test_refresh_kills_distributed_scorer_actors(ray_session):
     kind, actor = s._groups[0]
     assert kind == "ray"
     s.refresh()
-    with pytest.raises(ray.exceptions.RayActorError):
-        ray.get(actor.perf_counters.remote())
+    # ray.kill is async — poll until the actor is actually dead
+    import time
+
+    dead = False
+    deadline = time.time() + 15
+    while time.time() < deadline and not dead:
+        try:
+            ray.get(actor.perf_counters.remote())
+            time.sleep(0.2)
+        except ray.exceptions.RayActorError:
+            dead = True
+    assert dead
     s.close()
 
 
@@ -329,3 +339,12 @@ def test_ndjson_missing_field_fills_nulls(ray_session, tmp_path):
     assert m["metrics"]["num_docs"] == 2
     s = Searcher(root, distributed=False)
     assert s.count({"query": {"term": {"text": "alpha"}}}) == 2
+
+
+def test_unbuffered_add_bad_value_is_query_error(ray_session):
+    """Both write modes must surface a bad typed value as QueryError."""
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_ubval_"))
+    c.create_index("test_index", F2_SCHEMA)
+    with pytest.raises(QueryError):
+        c.add_document("test_index", {"document": {"test_i64": "not-a-number"}})
+    assert c.all_docs("test_index")["hits"] == 0

@@ -357,7 +357,8 @@ def test_multi_search_matches_single(searcher):
 def test_raw_dangling_operator_and_detached_boost(searcher):
     # tantivy's QueryParser rejects trailing operators and a
     # whitespace-separated caret; so do we (golden syntax error)
-    for bad in ["document NOT", "document +", "document ^2", "NOT"]:
+    for bad in ["document NOT", "document +", "document ^2", "NOT",
+                "document AND", "document OR", "AND document", "OR document"]:
         with pytest.raises(QueryError) as e:
             hits(searcher, {"raw": bad})
         assert str(e.value) == f"Error in Index: 'Syntax Error: {bad}'", bad

@@ -72,15 +72,23 @@ class AutoCommitWatcher:
 
     def tick(self) -> list[str]:
         """One watcher pass; returns the indexes committed (callable
-        directly for deterministic tests, mirroring commit.rs:88-109)."""
+        directly for deterministic tests, mirroring commit.rs:88-109).
+        One failing index must not starve the others."""
+        import logging
+
         c = self.catalog
         if c._bulk_lock.is_set():  # suppressed during bulk ingest
             return []
         out = []
         for name, ops in list(c._opstamp.items()):
             if ops > 0:
-                c.flush(name)
-                out.append(name)
+                try:
+                    c.flush(name)
+                    out.append(name)
+                except Exception:
+                    logging.getLogger("toshi_ray.api").exception(
+                        "auto-commit failed for index %r", name
+                    )
         return out
 
     def stop(self) -> None:
@@ -104,6 +112,10 @@ class IndexCatalog:
         self._pending: dict[str, list[dict]] = {}
         self._opstamp: dict[str, int] = {}
         self._mutex = threading.Lock()  # guards _pending/_opstamp (ticker thread)
+        self._flush_lock = threading.Lock()  # serializes WHOLE commits:
+        # publish_manifest is load-then-write, so two concurrent flushes
+        # (user thread + ticker) could publish a stale segment list and
+        # silently drop a just-committed segment
         self._bulk_lock = threading.Event()
         self._watcher: AutoCommitWatcher | None = None
         if auto_commit_s:
@@ -167,24 +179,25 @@ class IndexCatalog:
     # ---- S7: flush/commit (publish pending docs + bump the version) ----
     def flush(self, name: str) -> dict:
         root = self._require(name)
-        with self._mutex:
-            pending = self._pending.pop(name, [])
-            self._opstamp[name] = 0
-        if pending:
-            try:
-                self._append_docs(name, pending)
-            except Exception:
-                with self._mutex:  # re-stage: a failed commit loses nothing
-                    self._pending[name] = pending + self._pending.get(name, [])
-                    self._opstamp[name] = self._opstamp.get(name, 0) + len(pending)
-                raise
-            return {"opstamp": load_manifest(root)["version"]}
-        manifest = load_manifest(root)
-        m = publish_manifest(root, manifest["segments"],
-                             extra={k: v for k, v in manifest.items()
-                                    if k not in ("version", "segments")})
-        self._invalidate(name)
-        return {"opstamp": m["version"]}
+        with self._flush_lock:
+            with self._mutex:
+                pending = self._pending.pop(name, [])
+                self._opstamp[name] = 0
+            if pending:
+                try:
+                    self._append_docs(name, pending)
+                except Exception:
+                    with self._mutex:  # re-stage: a failed commit loses nothing
+                        self._pending[name] = pending + self._pending.get(name, [])
+                        self._opstamp[name] = self._opstamp.get(name, 0) + len(pending)
+                    raise
+                return {"opstamp": load_manifest(root)["version"]}
+            manifest = load_manifest(root)
+            m = publish_manifest(root, manifest["segments"],
+                                 extra={k: v for k, v in manifest.items()
+                                        if k not in ("version", "segments")})
+            self._invalidate(name)
+            return {"opstamp": m["version"]}
 
     # ---- S3: single-doc add (PUT /{idx}) ----
     def add_document(self, name: str, body: dict) -> dict:
@@ -192,11 +205,12 @@ class IndexCatalog:
         if not isinstance(doc, dict):
             # golden: handlers/index.rs:150-169
             raise QueryError.index("The provided string is not valid JSON")
+        self._require(name)
+        # validate NOW, in BOTH modes: a bad typed value must be a
+        # QueryError here, not a raw ArrowInvalid from the segment build
+        # (or a dead ticker commit with the whole batch staged)
+        self._validate(self._schema(name), doc)
         if self.buffered_writes:
-            self._require(name)
-            # validate NOW: a bad doc must fail this call, not kill a
-            # later ticker commit with the whole batch staged
-            self._validate(self._schema(name), doc)
             with self._mutex:
                 self._pending.setdefault(name, []).append(doc)
                 self._opstamp[name] = self._opstamp.get(name, 0) + 1

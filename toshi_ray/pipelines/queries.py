@@ -409,10 +409,12 @@ def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
 
     rows = embedding_near_dup_pairs(
         _emb_ds(sf_dir), threshold=0.3, n_planes=4, planes="axis",
-        # the SQL twin does the FULL per-bucket join — disable the
-        # oversized-bucket star cap here or the two sides diverge on
-        # corpora where a 16-bucket split exceeds the default cap
-        bucket_cap=1 << 30,
+        # the SQL twin does the FULL per-bucket join, so the star cap
+        # must not trigger — but keep it BOUNDED (4096² /2 pair indices
+        # ≈ 130 MB worst case) so a huge corpus can't OOM the task; the
+        # oracle comparison is valid while buckets stay under the cap
+        # (true at every tested sf; the cap logs if ever exceeded)
+        bucket_cap=4096,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -498,9 +500,9 @@ def q_decontam(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.cleaning import decontaminate
 
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    ref = t.filter(pa.array(ids < 3))["text"].to_pylist()
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", 3)])  # row-group pruned
+    ref = t["text"].to_pylist()
     rows = decontaminate(_docs_ds(sf_dir), ref, n=3).take_all()
     df = pd.DataFrame(rows)
     df["contaminated"] = df["contaminated"].astype("int64")

@@ -422,6 +422,8 @@ def _parse_seq(toks, i: int, schema, raw: str):
     items: list[tuple[str, Any]] = []
     conj = False
     pending: str | None = None
+    awaiting_clause = False  # an AND/OR was consumed; a clause must follow
+    n_parsed = 0  # clauses parsed incl. ones analysis dropped
     while i < len(toks):
         kind, val = toks[i]
         if kind == "RP":
@@ -432,10 +434,15 @@ def _parse_seq(toks, i: int, schema, raw: str):
             and pending is None
             and not (i + 1 < len(toks) and toks[i + 1][0] == "COLON")
         ):
-            if val == "AND":
-                conj = True
-            elif val == "NOT":
+            if val == "NOT":
                 pending = "-"
+            else:
+                # binary connector needs a left operand ("AND x" errors)
+                if n_parsed == 0 or awaiting_clause:
+                    raise QueryError.index(f"Syntax Error: {raw}")
+                if val == "AND":
+                    conj = True
+                awaiting_clause = True
             i += 1
             continue
         if kind == "OCCUR":
@@ -446,7 +453,10 @@ def _parse_seq(toks, i: int, schema, raw: str):
         if node is not None:  # analysis may drop a clause (all-stop tokens)
             items.append((pending or "?", node))
         pending = None
-    if pending is not None:  # dangling NOT / + / - with no clause
+        awaiting_clause = False
+        n_parsed += 1
+    if pending is not None or awaiting_clause:
+        # dangling NOT / + / - or a trailing AND / OR
         raise QueryError.index(f"Syntax Error: {raw}")
     if not items:
         raise QueryError.index(f"Syntax Error: {raw}")

@@ -826,6 +826,11 @@ class Searcher:
                 distributed = False
         self.distributed = distributed
         self._groups: list = []
+        import threading
+
+        self._pool_lock = threading.Lock()  # guards _groups/_retired/_inflight
+        self._retired: list = []  # old ray pools awaiting in-flight drain
+        self._inflight = 0
         self.refresh()
 
     # ------------- lifecycle -------------
@@ -895,11 +900,8 @@ class Searcher:
         t = pq.read_table(d)
         return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
 
-    def _teardown_groups(self):
-        """Drop scorer groups, KILLING ray actors — refresh() runs this
-        on every new commit, so leaked pools would pin one CPU each per
-        commit until the cluster starves."""
-        for kind, g in self._groups:
+    def _kill_pools(self, pools) -> None:
+        for kind, g in pools:
             if kind == "ray":
                 try:
                     import ray
@@ -907,11 +909,28 @@ class Searcher:
                     ray.kill(g, no_restart=True)
                 except Exception:
                     pass
-        self._groups = []
+
+    def _teardown_groups(self):
+        """Retire the current scorer pool. Ray actors are killed as soon
+        as no call is in flight — killing immediately would crash a
+        search mid-ray.get when an auto-refresh thread sees a new
+        commit; leaking them would pin one CPU per commit."""
+        with self._pool_lock:
+            doomed = [gr for gr in self._groups if gr[0] == "ray"]
+            self._groups = []
+            if self._inflight:
+                self._retired.extend(doomed)
+                return
+            doomed += self._retired
+            self._retired = []
+        self._kill_pools(doomed)
 
     def close(self) -> None:
         """Kill the scorer actor pool (frees their reserved CPUs)."""
         self._teardown_groups()
+        with self._pool_lock:
+            doomed, self._retired = self._retired, []
+        self._kill_pools(doomed)
 
     def _seg_dir(self, seg: dict) -> str:
         return os.path.join(self.index_root, SEGMENTS_DIR, seg["name"])
@@ -924,12 +943,14 @@ class Searcher:
         if self.distributed:
             import ray
 
-            # never request more 1-CPU actors than the cluster can
-            # schedule — an over-sized pool waits forever on actors
-            # that can never start (the first ones never release)
-            avail = int(ray.available_resources().get("CPU", 0))
-            if avail:
-                n_groups = max(1, min(n_groups, avail))
+            # never request more 1-CPU actors than the cluster HAS —
+            # an over-sized pool waits forever on actors that can never
+            # start (the scheduled ones never release). Total, not
+            # available: a transient job's usage must not permanently
+            # shrink the pool.
+            total = int(ray.cluster_resources().get("CPU", 0))
+            if total:
+                n_groups = max(1, min(n_groups, total))
         grouped = [dirs[i::n_groups] for i in range(n_groups)]
         schema_json = self.schema.to_json()
         if self.distributed:
@@ -946,11 +967,33 @@ class Searcher:
         # map (group, local idx) -> global segment dir for doc fetch
         self._group_dirs = [g for g in grouped if g]
 
-    def _call(self, method: str, *args):
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def _pool(self):
+        """Pin the current scorer pool for the duration of a query: a
+        concurrent refresh retires (not kills) the pool until the last
+        in-flight call releases it."""
         self._ensure_groups()
+        with self._pool_lock:
+            groups = list(self._groups)
+            self._inflight += 1
+        try:
+            yield groups
+        finally:
+            with self._pool_lock:
+                self._inflight -= 1
+                doomed = [] if self._inflight else self._retired
+                if doomed:
+                    self._retired = []
+            if doomed:
+                self._kill_pools(doomed)
+
+    @staticmethod
+    def _dispatch(groups, method: str, *args):
         outs = []
         ray_refs = []
-        for kind, g in self._groups:
+        for kind, g in groups:
             if kind == "ray":
                 ray_refs.append(getattr(g, method).remote(*args))
             else:
@@ -960,6 +1003,10 @@ class Searcher:
 
             outs.extend(ray.get(ray_refs))
         return outs
+
+    def _call(self, method: str, *args):
+        with self._pool() as groups:
+            return self._dispatch(groups, method, *args)
 
     # ------------- queries -------------
 
@@ -1012,52 +1059,56 @@ class Searcher:
             idf=idf_map,
             tombstones=self.tombstones if self.tombstones.size else None,
         )
-        group_results = self._call(
-            "score_topk_many",
-            [s.query for s in searches],
-            stats,
-            [s.limit for s in searches],
-            [s.sort_by for s in searches],
-            [s.facets for s in searches],
-        )
+        # scoring AND winner-fetch pin ONE pool snapshot: a refresh
+        # between the phases would remap group indices to different
+        # segment sets and fetch the wrong stored docs
+        with self._pool() as groups:
+            group_results = self._dispatch(
+                groups,
+                "score_topk_many",
+                [s.query for s in searches],
+                stats,
+                [s.limit for s in searches],
+                [s.sort_by for s in searches],
+                [s.facets for s in searches],
+            )
 
-        # per-query global merge + one combined winner-fetch per group
-        per_query_rows: list[list] = []
-        per_query_facets: list[dict] = []
-        wanted_by_group: dict[int, dict[int, set]] = {}
-        for qi, s in enumerate(searches):
-            rows = []
-            facet_acc: dict[str, int] = {}
-            for gi, results in enumerate(group_results):
-                top, fc = results[qi]
-                rows.extend((d, sc, gi, si) for d, sc, si in top)
-                for k, v in fc.items():
-                    facet_acc[k] = facet_acc.get(k, 0) + v
-            rows.sort(key=lambda r: (-r[1], r[0]))
-            rows = rows[: s.limit]
-            for d, _, gi, si in rows:
-                wanted_by_group.setdefault(gi, {}).setdefault(si, set()).add(d)
-            per_query_rows.append(rows)
-            per_query_facets.append(facet_acc)
+            # per-query global merge + one combined winner-fetch per group
+            per_query_rows: list[list] = []
+            per_query_facets: list[dict] = []
+            wanted_by_group: dict[int, dict[int, set]] = {}
+            for qi, s in enumerate(searches):
+                rows = []
+                facet_acc: dict[str, int] = {}
+                for gi, results in enumerate(group_results):
+                    top, fc = results[qi]
+                    rows.extend((d, sc, gi, si) for d, sc, si in top)
+                    for k, v in fc.items():
+                        facet_acc[k] = facet_acc.get(k, 0) + v
+                rows.sort(key=lambda r: (-r[1], r[0]))
+                rows = rows[: s.limit]
+                for d, _, gi, si in rows:
+                    wanted_by_group.setdefault(gi, {}).setdefault(si, set()).add(d)
+                per_query_rows.append(rows)
+                per_query_facets.append(facet_acc)
 
-        # fetch stored fields for the winners only (SURVEY.md §3.3)
-        docs_by_id: dict[int, dict] = {}
-        self._ensure_groups()
-        fetch_refs = []
-        for gi, wanted in wanted_by_group.items():
-            kind, g = self._groups[gi]
-            wanted = {si: sorted(ids) for si, ids in wanted.items()}
-            if kind == "ray":
-                fetch_refs.append(g.fetch_docs.remote(wanted))
-            else:
-                for doc in g.fetch_docs(wanted):
-                    docs_by_id[int(doc["doc_id"])] = doc
-        if fetch_refs:
-            import ray
+            # fetch stored fields for the winners only (SURVEY.md §3.3)
+            docs_by_id: dict[int, dict] = {}
+            fetch_refs = []
+            for gi, wanted in wanted_by_group.items():
+                kind, g = groups[gi]
+                wanted = {si: sorted(ids) for si, ids in wanted.items()}
+                if kind == "ray":
+                    fetch_refs.append(g.fetch_docs.remote(wanted))
+                else:
+                    for doc in g.fetch_docs(wanted):
+                        docs_by_id[int(doc["doc_id"])] = doc
+            if fetch_refs:
+                import ray
 
-            for part in ray.get(fetch_refs):
-                for doc in part:
-                    docs_by_id[int(doc["doc_id"])] = doc
+                for part in ray.get(fetch_refs):
+                    for doc in part:
+                        docs_by_id[int(doc["doc_id"])] = doc
 
         outs = []
         for s, rows, facet_acc in zip(searches, per_query_rows, per_query_facets):

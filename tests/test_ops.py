@@ -540,3 +540,20 @@ def test_cleaning_ops(ray_session):
         ds, ["the quick brown fox is here"], n=3).take_all()}
     assert out[2]["contaminated"] and out[2]["n_hit_ngrams"] == 2
     assert not out[0]["contaminated"] and not out[1]["contaminated"]
+
+
+def test_audio_stage_plumbing(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.multimodal import extract_audio_features
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "data": pa.array([b"wav-1", b"wav-2"], pa.binary())})
+    rows = extract_audio_features(ray.data.from_arrow(t), concurrency=1,
+                                  batch_size=2).take_all()
+    assert len(rows) == 2 and len(rows[0]["feature"]) == 8
+    assert rows[0]["n_samples"] >= 1 and rows[0]["sample_rate"] in (16_000, 44_100)
+    # deterministic across batchings
+    rows2 = extract_audio_features(ray.data.from_arrow(t), concurrency=1,
+                                   batch_size=1).take_all()
+    assert rows == rows2

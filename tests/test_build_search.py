@@ -543,3 +543,46 @@ def test_partial_build_resume_reuses_segments(ray_session):
         assert os.path.getmtime(os.path.join(seg_dir, s, "meta.json")) == old
     searcher = Searcher(root, distributed=False)
     assert searcher.count(None) == 300
+
+
+def test_log_merge_policy_buckets():
+    """Tantivy LogMergePolicy semantics (reference config 8/10k/0.75):
+    segments in the same log-size level merge once the level holds
+    min_merge_size of them; everything under min_layer_size shares the
+    bottom level."""
+    from toshi_ray.pipelines.merge import log_merge_candidates
+
+    small = [{"name": f"s{i}", "num_docs": 100 + i} for i in range(8)]
+    assert log_merge_candidates(small) == [[s["name"] for s in small]]
+    # 7 small segments: below min_merge_size → no candidates
+    assert log_merge_candidates(small[:7]) == []
+    # two distinct levels, each with 8 members, merge independently
+    big = [{"name": f"b{i}", "num_docs": 3_000_000 + i} for i in range(8)]
+    cands = log_merge_candidates(small + big)
+    assert sorted(map(len, cands)) == [8, 8]
+    names = {n for c in cands for n in c}
+    assert names == {s["name"] for s in small + big}
+    # a level with 8 small + a lone huge segment: only the small level merges
+    cands = log_merge_candidates(small + big[:1])
+    assert cands == [[s["name"] for s in small]]
+
+
+def test_maybe_merge_applies_policy(ray_session):
+    """maybe_merge consolidates every candidate bucket and publishes a
+    manifest whose doc count is unchanged."""
+    from toshi_ray.pipelines.build import load_manifest
+    from toshi_ray.pipelines.merge import maybe_merge
+
+    root = tempfile.mkdtemp(prefix="toshi_policy_")
+    build_index(pages_dataset(900, parallelism=3), page_schema(), root,
+                docs_per_segment=100)  # 9 segments, all bottom level
+    before = load_manifest(root)
+    assert len(before["segments"]) >= 8
+    merged = maybe_merge(root)
+    assert len(merged) == 1  # one bucket fired
+    after = load_manifest(root)
+    assert len(after["segments"]) < len(before["segments"])
+    assert sum(s["num_docs"] for s in after["segments"]) == 900
+    s = Searcher(root, distributed=False)
+    assert s.n_docs == 900
+    assert s.count({"query": {"term": {"text": "w00042"}}}) > 0

@@ -487,17 +487,37 @@ def merge_segments(
     merged.write_parquet(os.path.join(tmp, "postings"))
 
     # ---- docvalues + store: ORDERED concat of disjoint doc ranges ----
-    # source segments cover disjoint doc-id intervals, so reading them in
-    # min_doc order with preserve_order replaces a full sort shuffle
+    # source segments cover disjoint doc-id intervals. Without
+    # tombstones the side files need NO transform at all — hard-link
+    # them into the merged segment with order-preserving name prefixes
+    # (readers discover directory files lexicographically), skipping a
+    # full decode/encode of the store (the largest payload in the
+    # segment). With tombstones, stream-filter with preserve_order.
     ordered = sorted(names, key=lambda n: segs[n]["min_doc_id"])
-    ctx = ray.data.DataContext.get_current()
-    prev_preserve = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
+    if tombs.size == 0:
         for fname in (DOCVALUES_FILE, STORE_FILE):
-            paths = [_resolve(os.path.join(seg_dir, n, fname)) for n in ordered]
-            side = ray.data.read_parquet(paths)
-            if tombs.size:
+            dst = os.path.join(tmp, fname.replace(".parquet", ""))
+            os.makedirs(dst, exist_ok=True)
+            for i, n in enumerate(ordered):
+                src = _resolve(os.path.join(seg_dir, n, fname))
+                parts = (
+                    sorted(os.listdir(src)) if os.path.isdir(src) else [None]
+                )
+                for j, part in enumerate(parts):
+                    sp = src if part is None else os.path.join(src, part)
+                    dp = os.path.join(dst, f"{i:05d}-{j:04d}.parquet")
+                    try:
+                        os.link(sp, dp)
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copyfile(sp, dp)
+    else:
+        ctx = ray.data.DataContext.get_current()
+        prev_preserve = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            for fname in (DOCVALUES_FILE, STORE_FILE):
+                paths = [_resolve(os.path.join(seg_dir, n, fname)) for n in ordered]
+                side = ray.data.read_parquet(paths)
                 tomb_sorted = tombs
 
                 def drop(t: pa.Table) -> pa.Table:
@@ -505,9 +525,9 @@ def merge_segments(
                     return t.filter(pa.array(~np.isin(ids, tomb_sorted)))
 
                 side = side.map_batches(drop, batch_format="pyarrow")
-            side.write_parquet(os.path.join(tmp, fname.replace(".parquet", "")))
-    finally:
-        ctx.execution_options.preserve_order = prev_preserve
+                side.write_parquet(os.path.join(tmp, fname.replace(".parquet", "")))
+        finally:
+            ctx.execution_options.preserve_order = prev_preserve
 
     dv = pq.read_table(os.path.join(tmp, "docvalues"), columns=["doc_id"])
     n_docs = dv.num_rows

@@ -25,6 +25,8 @@ _LAZY = {
     "merge_segments": ("toshi_ray.pipelines.merge", "merge_segments"),
     "maybe_merge": ("toshi_ray.pipelines.merge", "maybe_merge"),
     "delete_by_term": ("toshi_ray.pipelines.merge", "delete_by_term"),
+    "bulk_index_ndjson": ("toshi_ray.sources.ndjson", "bulk_index_ndjson"),
+    "AutoCommitWatcher": ("toshi_ray.api", "AutoCommitWatcher"),
 }
 
 
@@ -50,6 +52,8 @@ __all__ = [
     "merge_segments",
     "maybe_merge",
     "delete_by_term",
+    "bulk_index_ndjson",
+    "AutoCommitWatcher",
 ]
 
 __version__ = "0.1.0"

@@ -364,3 +364,17 @@ def test_raw_dangling_operator_and_detached_boost(searcher):
         assert str(e.value) == f"Error in Index: 'Syntax Error: {bad}'", bad
     # adjacent boost still works
     assert hits(searcher, {"raw": "document^2"})["hits"] == 3
+
+
+def test_levenshtein_transposition_is_restricted_damerau():
+    """Tantivy's automaton treats a transposition as ONE primitive edit
+    but never edits a transposed pair again (OSA / restricted Damerau):
+    d("ab","ba")=1 with transposition, 2 without; d("ca","abc") stays 3
+    under OSA (full Damerau would give 2)."""
+    from toshi_ray.search import _levenshtein_filter
+
+    assert _levenshtein_filter(["ba"], "ab", 1, True) == ["ba"]
+    assert _levenshtein_filter(["ba"], "ab", 1, False) == []
+    assert _levenshtein_filter(["ba"], "ab", 2, False) == ["ba"]
+    assert _levenshtein_filter(["abc"], "ca", 2, True) == []   # OSA: 3
+    assert _levenshtein_filter(["abc"], "ca", 3, True) == ["abc"]

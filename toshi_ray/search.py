@@ -101,13 +101,16 @@ def _levenshtein_filter(
     cands = [t for t in terms if abs(len(t) - len(query)) <= distance]
     if not cands:
         return []
-    maxlen = max(len(t) for t in cands)
+    # candidate code-point matrix in ONE encode + one vectorized scatter
+    codes = np.frombuffer("".join(cands).encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in cands), dtype=np.int64, count=len(cands))
+    offs = np.zeros(len(cands) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    maxlen = int(lens.max())
     mat = np.zeros((len(cands), maxlen), dtype=np.uint32)
-    lens = np.empty(len(cands), dtype=np.int64)
-    for i, t in enumerate(cands):  # fill once; DP below is vectorized
-        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-        mat[i, : b.size] = b
-        lens[i] = b.size
+    rows = np.repeat(np.arange(len(cands), dtype=np.int64), lens)
+    cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    mat[rows, cols] = codes
     n = len(cands)
     prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int32), (n, maxlen + 1)).copy()
     prev2 = None

@@ -417,6 +417,7 @@ def merge_segments(
     hot_df_threshold: int = 100_000,
     shard_span: int = 1_000_000,
     apply_deletes: bool = True,
+    n_parts: int = 64,
 ) -> dict:
     """Merge the named segments (default: all) into one; publish manifest."""
     import ray.data
@@ -447,7 +448,9 @@ def merge_segments(
         sorted({f"{r['field']}\x00{r['term']}" for r in hot_tbl}), type=pa.string()
     )
 
-    n_parts = 64  # coarse shuffle partitions; each merges vectorized
+    # coarse shuffle partitions; each merges vectorized. 64 suits one
+    # node; size ~2-4x the cluster's cores for a big merge so one
+    # partition's postings fit a task heap while all cores stay busy.
 
     def tag(batch: pa.Table) -> pa.Table:
         from toshi_ray.ops.dedup import _hash_strings, _mix

@@ -586,3 +586,21 @@ def test_maybe_merge_applies_policy(ray_session):
     s = Searcher(root, distributed=False)
     assert s.n_docs == 900
     assert s.count({"query": {"term": {"text": "w00042"}}}) > 0
+
+
+def test_log_merge_level_band_semantics():
+    """Bands are anchored at each level's largest segment with width
+    level_log_size in log2 space (tantivy semantics) — a fixed grid
+    would split 1.1M/2.0M differently."""
+    from toshi_ray.pipelines.merge import log_merge_candidates
+
+    # 8 segments spread within one 0.75-wide band from the head → merge
+    head = 2_000_000
+    close = [{"name": f"c{i}", "num_docs": int(head / (1.06 ** i))} for i in range(8)]
+    assert log_merge_candidates(close) == [[s["name"] for s in close]]
+    # a segment more than level_log_size below the head opens a new level
+    far = [{"name": "far", "num_docs": int(head / 2.0)}]  # 1.0 > 0.75 below
+    cands = log_merge_candidates(close[:1] * 1 + far * 1 + close[1:])
+    # 7 close + head in band one... construct explicitly: head + 7 close are
+    # within 0.42 of head; far sits 1.0 below head → two levels, neither full
+    assert log_merge_candidates([close[0]] + far) == []

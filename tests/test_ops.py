@@ -557,3 +557,21 @@ def test_audio_stage_plumbing(ray_session):
     rows2 = extract_audio_features(ray.data.from_arrow(t), concurrency=1,
                                    batch_size=1).take_all()
     assert rows == rows2
+
+
+def test_multimodal_empty_batch_safe():
+    """Every multimodal stage must pass an empty batch through cleanly
+    (upstream filters can empty a block)."""
+    from toshi_ray.ops.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ImageDecodeStage,
+    )
+
+    empty_bin = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "data": pa.array([], pa.binary())})
+    assert ImageDecodeStage()(empty_bin).num_rows == 0
+    assert AudioFeatureStage()(empty_bin).num_rows == 0
+    empty_dur = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "duration_ms": pa.array([], pa.int64())})
+    assert FrameSampleStage()(empty_dur).num_rows == 0

@@ -52,6 +52,18 @@ class ImageDecodeStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         from toshi_ray.ops.dedup import _hash_strings
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_col: t[self.id_col],
+                    "width": pa.array([], pa.int32()),
+                    "height": pa.array([], pa.int32()),
+                    "mode": pa.array([], pa.string()),
+                    "feature": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float64()), self.feature_dim
+                    ),
+                }
+            )
         data = t[self.data_col].combine_chunks()
         if not self.stubbed:
             import io
@@ -135,6 +147,9 @@ class FrameSampleStage:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({self.id_col: t[self.id_col],
+                             "frame_ms": pa.array([], pa.int64())})
         dur = t[self.duration_col].to_numpy(zero_copy_only=False).astype(np.int64)
         counts = np.maximum(dur // self.every, 0) + 1
         ids = np.repeat(t[self.id_col].to_numpy(zero_copy_only=False), counts)
@@ -175,6 +190,17 @@ class AudioFeatureStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         from toshi_ray.ops.dedup import _hash_strings
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_col: t[self.id_col],
+                    "n_samples": pa.array([], pa.int64()),
+                    "sample_rate": pa.array([], pa.int32()),
+                    "feature": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float64()), self.feature_dim
+                    ),
+                }
+            )
         data = t[self.data_col].combine_chunks()
         if not self.stubbed:
             import io

@@ -67,16 +67,26 @@ def log_merge_candidates(
     min_layer_size: int = MIN_LAYER_SIZE,
     level_log_size: float = LEVEL_LOG_SIZE,
 ) -> list[list[str]]:
-    """Log-bucketed merge candidates (tantivy LogMergePolicy semantics:
-    segments whose log-size falls in the same level merge once the level
-    holds >= min_merge_size segments; everything under min_layer_size
-    shares the bottom level)."""
-    levels: dict[int, list[str]] = {}
-    for s in segments:
-        docs = max(1, s["num_docs"])
-        lvl = 0 if docs < min_layer_size else int(math.log2(docs) * level_log_size)
-        levels.setdefault(lvl, []).append(s["name"])
-    return [names for names in levels.values() if len(names) >= min_merge_size]
+    """Log-bucketed merge candidates — tantivy LogMergePolicy semantics:
+    sort segments by log-size descending and open a NEW level whenever a
+    segment's log2 size drops more than ``level_log_size`` below the
+    current level head (bands of width level_log_size in log2 space,
+    anchored at each band's largest segment — not a fixed grid);
+    everything at or under ``min_layer_size`` is clipped up so it shares
+    the bottom level. A level merges once it holds >= min_merge_size
+    segments."""
+    sized = sorted(
+        ((math.log2(max(s["num_docs"], min_layer_size, 1)), s["name"]) for s in segments),
+        key=lambda x: -x[0],
+    )
+    levels: list[list[str]] = []
+    head_log: float | None = None
+    for lg, name in sized:
+        if head_log is None or lg < head_log - level_log_size:
+            levels.append([])
+            head_log = lg
+        levels[-1].append(name)
+    return [names for names in levels if len(names) >= min_merge_size]
 
 
 _MERGED_SCHEMA = pa.schema(

@@ -548,6 +548,8 @@ class SegmentGroupScorer:
                         pa.array(uniq, type=pa.string()), f"^(?:{node.pattern})$"
                     ).to_numpy(zero_copy_only=False)
                     matched = [t for t, m in zip(uniq, matched_mask) if m]
+                if len(self._expand_cache) >= 1024:  # bound actor memory
+                    self._expand_cache.pop(next(iter(self._expand_cache)))
                 self._expand_cache[ck] = matched
             if not matched:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)

@@ -348,3 +348,9 @@ def test_unbuffered_add_bad_value_is_query_error(ray_session):
     with pytest.raises(QueryError):
         c.add_document("test_index", {"document": {"test_i64": "not-a-number"}})
     assert c.all_docs("test_index")["hits"] == 0
+
+
+def test_root_banner():  # handlers/root.rs:9-14
+    c = IndexCatalog(tempfile.mkdtemp(prefix="toshi_root_"))
+    out = c.root()
+    assert out["name"] == "toshi-ray" and out["version"]

@@ -133,6 +133,12 @@ class IndexCatalog:
             self._watcher.stop()
             self._watcher = None
 
+    # ---- GET / — service banner (reference handlers/root.rs:5-7) ----
+    def root(self) -> dict:
+        from toshi_ray import __version__
+
+        return {"name": "toshi-ray", "version": __version__}
+
     # ---- S5: create ----
     def create_index(self, name: str, schema_json: list[dict]) -> dict:
         root = self._root(name)

@@ -604,3 +604,49 @@ def test_log_merge_level_band_semantics():
     # 7 close + head in band one... construct explicitly: head + 7 close are
     # within 0.42 of head; far sits 1.0 below head → two levels, neither full
     assert log_merge_candidates([close[0]] + far) == []
+
+
+def test_merge_resumes_from_partition_checkpoints(ray_session):
+    """A merge rerun after a simulated crash (manifest rolled back,
+    final segment dir lost) must reuse every finished partition
+    checkpoint and produce identical search results."""
+    import json
+    import os
+    import shutil
+
+    from toshi_ray.pipelines.build import load_manifest
+
+    root = tempfile.mkdtemp(prefix="toshi_resume_merge_")
+    build_index(pages_dataset(800, parallelism=2), page_schema(), root,
+                docs_per_segment=100)
+    mpath = os.path.join(root, "manifest.json")
+    manifest_before = open(mpath).read()
+
+    merge_segments(root, hot_df_threshold=300, shard_span=400)
+    merged = [s for s in load_manifest(root)["segments"]
+              if s["name"].startswith("seg-merged")][0]
+    assert merged["metrics"]["parts_resumed"] == 0
+    assert merged["metrics"]["parts"] > 0
+    s1 = Searcher(root, distributed=False)
+    res1 = {t: engine_topk(s1, {"term": {"text": t}}) for t in QUERY_TERMS}
+
+    # simulated crash BEFORE publish: old manifest back, final dir gone,
+    # checkpoints intact
+    shutil.rmtree(os.path.join(root, "segments", merged["name"]))
+    with open(mpath, "w") as f:
+        f.write(manifest_before)
+
+    merge_segments(root, hot_df_threshold=300, shard_span=400)
+    merged2 = [s for s in load_manifest(root)["segments"]
+               if s["name"].startswith("seg-merged")][0]
+    assert merged2["name"] == merged["name"]  # content-keyed identity
+    assert merged2["metrics"]["parts_resumed"] == merged2["metrics"]["parts"]
+    s2 = Searcher(root, distributed=False)
+    for t, want in res1.items():
+        assert engine_topk(s2, {"term": {"text": t}}) == want, t
+
+    # gc reclaims the checkpoints
+    from toshi_ray.pipelines.merge import gc_segments
+
+    gc_segments(root)
+    assert not os.path.isdir(os.path.join(root, ".merge-ckpt"))

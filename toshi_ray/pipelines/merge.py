@@ -429,7 +429,17 @@ def merge_segments(
     apply_deletes: bool = True,
     n_parts: int = 64,
 ) -> dict:
-    """Merge the named segments (default: all) into one; publish manifest."""
+    """Merge the named segments (default: all) into one; publish manifest.
+
+    Resumable (north_rule): the merge identity is content-keyed
+    (source set + tombstone state), every shuffle partition's merged
+    postings write idempotently into a per-merge checkpoint dir, and a
+    rerun after a crash reuses finished partitions (reported in the
+    merged segment's ``metrics.parts_resumed``). Checkpoints are
+    hard-linked into the final segment (no copy) and reclaimed by
+    `gc_segments`."""
+    import hashlib
+
     import ray.data
 
     manifest = load_manifest(index_root)
@@ -440,6 +450,11 @@ def merge_segments(
     keep_segments = [s for s in manifest["segments"] if s["name"] not in names]
 
     tombs = load_tombstones(index_root) if apply_deletes else np.empty(0, np.uint64)
+
+    merge_key = hashlib.sha1(
+        ("|".join(sorted(names)) + "#" + hashlib.sha1(tombs.tobytes()).hexdigest())
+        .encode()
+    ).hexdigest()[:12]
 
     seg_dir = os.path.join(index_root, SEGMENTS_DIR)
     post_paths = [_resolve(os.path.join(seg_dir, n, POSTINGS_FILE)) for n in names]
@@ -488,16 +503,41 @@ def merge_segments(
     # normalize per-term shard order by first_doc (shards partition
     # disjoint doc ranges). A trailing .sort() here would be a second
     # all-to-all over the full merged postings for nothing.
-    merged = (
+    t0 = __import__("time").perf_counter()
+    ckpt = os.path.join(index_root, ".merge-ckpt", merge_key)
+    os.makedirs(ckpt, exist_ok=True)
+
+    def merge_and_write(t: pa.Table) -> pa.Table:
+        """One shuffle partition → one idempotent checkpoint file."""
+        part = int(t["part"][0].as_py())
+        out_path = os.path.join(ckpt, f"part-{part:05d}.parquet")
+        if os.path.exists(out_path):  # per-partition checkpoint hit
+            return pa.table({"part": [part], "resumed": [True]})
+        merged = _merge_partition(t)
+        tmp_path = f"{out_path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(merged, tmp_path)
+        os.rename(tmp_path, out_path)
+        return pa.table({"part": [part], "resumed": [False]})
+
+    part_rows = (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(_merge_partition, batch_format="pyarrow")
+        .map_groups(merge_and_write, batch_format="pyarrow")
+        .take_all()
     )
+    n_resumed = sum(1 for r in part_rows if r["resumed"])
 
-    new_name = f"seg-merged-{uuid.uuid4().hex[:12]}"
+    new_name = f"seg-merged-{merge_key}"
+    final = os.path.join(seg_dir, new_name)
     tmp = os.path.join(seg_dir, f".tmp-{new_name}")
-    os.makedirs(tmp, exist_ok=True)
-    merged.write_parquet(os.path.join(tmp, "postings"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "postings"), exist_ok=True)
+    for f in sorted(os.listdir(ckpt)):  # link checkpoints in: no copy
+        if f.endswith(".parquet"):
+            try:
+                os.link(os.path.join(ckpt, f), os.path.join(tmp, "postings", f))
+            except OSError:
+                shutil.copyfile(os.path.join(ckpt, f), os.path.join(tmp, "postings", f))
 
     # ---- docvalues + store: ORDERED concat of disjoint doc ranges ----
     # source segments cover disjoint doc-id intervals. Without
@@ -558,12 +598,22 @@ def merge_segments(
         "min_doc_id": int(ids.min()) if n_docs else 0,
         "max_doc_id": int(ids.max()) if n_docs else 0,
         "field_stats": field_stats,
-        "merged_from": names,
+        "merged_from": names,  # lineage
+        "metrics": {
+            "merge_secs": round(__import__("time").perf_counter() - t0, 3),
+            "parts": len(part_rows),
+            "parts_resumed": n_resumed,
+        },
     }
     with open(os.path.join(tmp, META_FILE), "w") as f:
         json.dump(meta, f)
-    final = os.path.join(seg_dir, new_name)
-    os.rename(tmp, final)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # an identical merge (same content key) already published
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(final, META_FILE)) as f:
+            meta = json.load(f)
 
     new_manifest = publish_manifest(
         index_root,
@@ -584,15 +634,18 @@ def maybe_merge(index_root: str, **kw) -> list[dict]:
 
 
 def gc_segments(index_root: str) -> int:
-    """Delete segment dirs no longer referenced by the manifest."""
+    """Delete segment dirs no longer referenced by the manifest, plus
+    merge checkpoints and stale .tmp assembly dirs (an in-flight
+    crashed merge simply restarts from scratch after a gc)."""
     manifest = load_manifest(index_root)
     live = {s["name"] for s in manifest["segments"]}
     seg_dir = os.path.join(index_root, SEGMENTS_DIR)
     n = 0
     for name in list(os.listdir(seg_dir)):
-        if name not in live and not name.startswith(".tmp"):
+        if name not in live:
             shutil.rmtree(os.path.join(seg_dir, name), ignore_errors=True)
             n += 1
+    shutil.rmtree(os.path.join(index_root, ".merge-ckpt"), ignore_errors=True)
     manifest["garbage"] = []
     publish_manifest(index_root, manifest["segments"], extra={"garbage": []})
     return n

@@ -614,18 +614,28 @@ class SegmentGroupScorer:
                 f"Field '{node.field}' does not record positions"
             )
         offsets = node.offsets or tuple(range(len(node.terms)))
-        per_term = []
+        # pass 1: doc-id intersection WITHOUT touching positions — most
+        # phrase candidates die here, and the positions payload is the
+        # largest column in the segment
+        id_parts = []
         for t in node.terms:
-            tbl = reader.postings_for_terms(node.field, [t])
-            if tbl.num_rows == 0:
+            ids, _, _ = self._postings(reader, node.field, t)
+            if ids.size == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
+            id_parts.append(ids)
+        cand = id_parts[0]
+        for ids in id_parts[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return cand.astype(np.uint64), np.empty(0, np.float64)
+
+        # pass 2: positions only for the surviving conjunction
+        per_term = []
+        for t, ids in zip(node.terms, id_parts):
+            tbl = reader.postings_for_terms(node.field, [t])
             if tbl.num_rows > 1:
                 tbl = tbl.sort_by("first_doc")  # shard order = doc order
             rows = tbl.to_pylist()
-            ids = np.concatenate(
-                [codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"]) for r in rows]
-            )
-            tfs = np.concatenate([codecs.varint_decode(r["tfs"]) for r in rows])
             pos_parts, off_parts = [], []
             for r in rows:
                 tfr = codecs.varint_decode(r["tfs"])
@@ -643,12 +653,6 @@ class SegmentGroupScorer:
             offs = np.zeros(lens.size + 1, np.int64)
             np.cumsum(lens, out=offs[1:])
             per_term.append((ids, pos.astype(np.int64), offs))
-
-        cand = per_term[0][0]
-        for ids, _, _ in per_term[1:]:
-            cand = np.intersect1d(cand, ids, assume_unique=True)
-        if cand.size == 0:
-            return cand.astype(np.uint64), np.empty(0, np.float64)
 
         survivors = None
         for i, (ids, pos, offs) in enumerate(per_term):

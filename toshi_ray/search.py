@@ -616,7 +616,10 @@ class SegmentGroupScorer:
         offsets = node.offsets or tuple(range(len(node.terms)))
         # pass 1: doc-id intersection WITHOUT touching positions — most
         # phrase candidates die here, and the positions payload is the
-        # largest column in the segment
+        # largest column in the segment. (Pass 2 decodes a term's whole
+        # position stream; that stays O(segment), and segments are
+        # bounded by docs_per_segment — block-aligned position offsets
+        # would shave a constant factor at the cost of a format bump.)
         id_parts = []
         for t in node.terms:
             ids, _, _ = self._postings(reader, node.field, t)

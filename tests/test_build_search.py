@@ -648,5 +648,42 @@ def test_merge_resumes_from_partition_checkpoints(ray_session):
     # gc reclaims the checkpoints
     from toshi_ray.pipelines.merge import gc_segments
 
-    gc_segments(root)
-    assert not os.path.isdir(os.path.join(root, ".merge-ckpt"))
+    gc_segments(root, checkpoint_grace_s=0)
+    ck = os.path.join(root, ".merge-ckpt")
+    assert (not os.path.isdir(ck)) or os.listdir(ck) == []
+    # fresh checkpoints survive a default-grace gc (in-flight protection)
+
+
+def test_merge_checkpoints_invalidate_on_rebuild(ray_session, tmp_path):
+    """A leftover merge checkpoint must NOT be resumed after an
+    overwrite rebuild that reproduces the same segment names over
+    different text — the content-keyed merge identity (file size +
+    mtime) invalidates it."""
+    import pyarrow as pa
+    import ray
+
+    from toshi_ray.pipelines.build import load_manifest
+
+    schema = Schema.build(FieldDef("doc_id", "u64", fast=True),
+                          FieldDef("text", "text"))
+
+    def corpus(word):
+        return pa.table({
+            "doc_id": pa.array(np.arange(400, dtype=np.uint64)),
+            "text": [f"{word} tok{i % 7} filler" for i in range(400)],
+        })
+
+    root = str(tmp_path / "ck")
+    build_index(ray.data.from_arrow(corpus("alpha")).repartition(4), schema,
+                root, docs_per_segment=50)
+    merge_segments(root)  # completes; its checkpoint dir stays until gc
+
+    build_index(ray.data.from_arrow(corpus("delta")).repartition(4), schema,
+                root, overwrite=True, docs_per_segment=50)
+    merge_segments(root)
+    merged = [s for s in load_manifest(root)["segments"]
+              if s["name"].startswith("seg-merged")][0]
+    assert merged["metrics"]["parts_resumed"] == 0  # stale ckpt NOT reused
+    s = Searcher(root, distributed=False)
+    assert s.count({"query": {"term": {"text": "alpha"}}}) == 0
+    assert s.count({"query": {"term": {"text": "delta"}}}) == 400

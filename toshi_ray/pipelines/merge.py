@@ -451,12 +451,34 @@ def merge_segments(
 
     tombs = load_tombstones(index_root) if apply_deletes else np.empty(0, np.uint64)
 
-    merge_key = hashlib.sha1(
-        ("|".join(sorted(names)) + "#" + hashlib.sha1(tombs.tobytes()).hexdigest())
-        .encode()
-    ).hexdigest()[:12]
-
     seg_dir = os.path.join(index_root, SEGMENTS_DIR)
+
+    # checkpoint identity must cover everything the partition contents
+    # depend on: source CONTENT (names alone survive an overwrite
+    # rebuild with the same doc layout — size+mtime invalidate that),
+    # the shuffle/salting parameters, the on-disk format, and the
+    # tombstone state. A false invalidation only costs a recompute;
+    # a false HIT would resurrect another corpus's postings.
+    from toshi_ray.pipelines.build import FORMAT_VERSION
+
+    def _content_sig(name: str) -> str:
+        p = _resolve(os.path.join(seg_dir, name, POSTINGS_FILE))
+        files = (
+            sorted(os.path.join(p, f) for f in os.listdir(p))
+            if os.path.isdir(p) else [p]
+        )
+        st = [(os.path.basename(f), os.path.getsize(f),
+               os.stat(f).st_mtime_ns) for f in files]
+        return f"{name}:{st}"
+
+    merge_key = hashlib.sha1(
+        "|".join(
+            ["|".join(_content_sig(n) for n in sorted(names)),
+             f"parts={n_parts}", f"span={shard_span}", f"hot={hot_df_threshold}",
+             f"fmt={FORMAT_VERSION}",
+             hashlib.sha1(tombs.tobytes()).hexdigest()]
+        ).encode()
+    ).hexdigest()[:12]
     post_paths = [_resolve(os.path.join(seg_dir, n, POSTINGS_FILE)) for n in names]
     ds = ray.data.read_parquet(post_paths)
 
@@ -509,6 +531,9 @@ def merge_segments(
 
     def merge_and_write(t: pa.Table) -> pa.Table:
         """One shuffle partition → one idempotent checkpoint file."""
+        if t.num_rows == 0:  # e.g. tombstones deleted every doc
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "resumed": pa.array([], pa.bool_())})
         part = int(t["part"][0].as_py())
         out_path = os.path.join(ckpt, f"part-{part:05d}.parquet")
         if os.path.exists(out_path):  # per-partition checkpoint hit
@@ -610,6 +635,8 @@ def merge_segments(
     try:
         os.rename(tmp, final)
     except OSError:
+        if not os.path.exists(os.path.join(final, META_FILE)):
+            raise  # a real rename failure, not an already-published twin
         # an identical merge (same content key) already published
         shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(final, META_FILE)) as f:
@@ -633,19 +660,38 @@ def maybe_merge(index_root: str, **kw) -> list[dict]:
     return out
 
 
-def gc_segments(index_root: str) -> int:
+def gc_segments(index_root: str, *, checkpoint_grace_s: float = 3600.0) -> int:
     """Delete segment dirs no longer referenced by the manifest, plus
-    merge checkpoints and stale .tmp assembly dirs (an in-flight
-    crashed merge simply restarts from scratch after a gc)."""
+    merge checkpoints idle longer than ``checkpoint_grace_s``.
+
+    In-flight protection: `.tmp-*` assembly dirs are never touched, and
+    a checkpoint dir whose newest file is younger than the grace window
+    is assumed to belong to a running merge (merges on this class of
+    box can take minutes)."""
+    import time
+
     manifest = load_manifest(index_root)
     live = {s["name"] for s in manifest["segments"]}
     seg_dir = os.path.join(index_root, SEGMENTS_DIR)
     n = 0
     for name in list(os.listdir(seg_dir)):
-        if name not in live:
+        if name not in live and not name.startswith(".tmp"):
             shutil.rmtree(os.path.join(seg_dir, name), ignore_errors=True)
             n += 1
-    shutil.rmtree(os.path.join(index_root, ".merge-ckpt"), ignore_errors=True)
+    ckpt_root = os.path.join(index_root, ".merge-ckpt")
+    if os.path.isdir(ckpt_root):
+        now = time.time()
+        for key in list(os.listdir(ckpt_root)):
+            d = os.path.join(ckpt_root, key)
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)),
+                    default=os.path.getmtime(d),
+                )
+            except OSError:
+                continue
+            if now - newest > checkpoint_grace_s:
+                shutil.rmtree(d, ignore_errors=True)
     manifest["garbage"] = []
     publish_manifest(index_root, manifest["segments"], extra={"garbage": []})
     return n

@@ -620,28 +620,34 @@ class SegmentGroupScorer:
         # position stream; that stays O(segment), and segments are
         # bounded by docs_per_segment — block-aligned position offsets
         # would shave a constant factor at the cost of a format bump.)
-        id_parts = []
+        fetched = []  # (ids, tfs) per term, rows sorted by first_doc
         for t in node.terms:
-            ids, _, _ = self._postings(reader, node.field, t)
+            ids, tfs, _ = self._postings(reader, node.field, t)
             if ids.size == 0:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
-            id_parts.append(ids)
-        cand = id_parts[0]
-        for ids in id_parts[1:]:
+            fetched.append((ids, tfs))
+        cand = fetched[0][0]
+        for ids, _ in fetched[1:]:
             cand = np.intersect1d(cand, ids, assume_unique=True)
         if cand.size == 0:
             return cand.astype(np.uint64), np.empty(0, np.float64)
 
-        # pass 2: positions only for the surviving conjunction
+        # pass 2: positions only for the surviving conjunction; tfs are
+        # reused from pass 1 (sliced per shard row by df offsets — both
+        # fetches sort shard rows by first_doc, so they align)
         per_term = []
-        for t, ids in zip(node.terms, id_parts):
-            tbl = reader.postings_for_terms(node.field, [t])
+        for t, (ids, tfs) in zip(node.terms, fetched):
+            tbl = reader.postings_for_terms(
+                node.field, [t], ["df", "first_doc", "positions"]
+            )
             if tbl.num_rows > 1:
                 tbl = tbl.sort_by("first_doc")  # shard order = doc order
             rows = tbl.to_pylist()
+            df_offs = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum([r["df"] for r in rows], out=df_offs[1:])
             pos_parts, off_parts = [], []
-            for r in rows:
-                tfr = codecs.varint_decode(r["tfs"])
+            for k, r in enumerate(rows):
+                tfr = tfs[df_offs[k]: df_offs[k + 1]]
                 gaps = codecs.varint_decode(r["positions"])
                 offs = np.zeros(tfr.size + 1, np.int64)
                 np.cumsum(tfr.astype(np.int64), out=offs[1:])

@@ -161,9 +161,10 @@ def test_size_aware_postings_cache(ray_session):
     )
 
 
-def test_fuzzy_matched_variant_count_scoring(ray_session, tmp_path):
-    """A doc containing TWO distance-1 variants scores 2.0 (tantivy 0.19
-    fuzzy scoring = matched-term count, SURVEY.md §2.5)."""
+def test_fuzzy_const_scorer(ray_session, tmp_path):
+    """Fuzzy is an automaton query in tantivy 0.19: AutomatonWeight unions
+    matching terms into one BitSetDocSet wrapped in ConstScorer(1.0), so a
+    doc containing TWO distance-1 variants still scores 1.0 (fuzzy.rs:31)."""
     import pyarrow as pa
     import ray
 
@@ -181,7 +182,7 @@ def test_fuzzy_matched_variant_count_scoring(ray_session, tmp_path):
         {"query": {"fuzzy": {"text": {"value": "spark", "distance": 1,
                                       "transposition": False}}}}
     )
-    assert {d["doc"]["doc_id"]: d["score"] for d in r["docs"]} == {0: 2.0, 1: 1.0}
+    assert {d["doc"]["doc_id"]: d["score"] for d in r["docs"]} == {0: 1.0, 1: 1.0}
 
 
 def test_apply_tombstones_vectorized():

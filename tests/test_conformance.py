@@ -194,9 +194,9 @@ def test_raw_new_syntax_errors(searcher):
         assert str(e.value) == f"Error in Index: 'Syntax Error: {bad}'", bad
 
 
-def test_fuzzy_scores_matched_variant_count(searcher):
-    # tantivy 0.19: fuzzy scores matched-term count. "document" ~1 matches
-    # variants {document, dockument}; each doc contains exactly one → 1.0
+def test_fuzzy_scores_const_one(searcher):
+    # tantivy 0.19: fuzzy is an automaton query — AutomatonWeight wraps a
+    # BitSetDocSet in ConstScorer(1.0); every matching doc scores 1.0
     r = hits(
         searcher,
         {"fuzzy": {"test_text": {"value": "document", "distance": 1, "transposition": False}}},

@@ -554,14 +554,13 @@ class SegmentGroupScorer:
             if not matched:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
             parts = [self._postings(reader, node.field, t)[0] for t in matched]
-            if isinstance(node, FuzzyQuery):
-                # tantivy 0.19 fuzzy scoring: matched-VARIANT count per doc
-                # (SURVEY.md §2.5) — a doc containing 2 edit-distance
-                # variants scores 2.0
-                ids, counts = np.unique(np.concatenate(parts), return_counts=True)
-                return ids, counts.astype(np.float64)
+            # Both fuzzy and regex are automaton queries in tantivy 0.19:
+            # AutomatonWeight unions matching terms into one BitSetDocSet
+            # wrapped in ConstScorer(1.0), so every matching doc scores 1.0
+            # regardless of how many edit-distance variants it contains
+            # (fuzzy.rs:31 → tantivy automaton_weight.rs).
             ids = np.unique(np.concatenate(parts))
-            return ids, np.ones(ids.size, np.float64)  # const scorer (automaton query)
+            return ids, np.ones(ids.size, np.float64)
 
         if isinstance(node, RangeQuery):
             fdef = self._field_or_raise(node.field)

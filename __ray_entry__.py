@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query. The one exception
-    is ``dedup_minhash`` (rows-only): its est_jaccard is signature
-    agreement over seeded random permutations, not SQL-recomputable."""
+    """DuckDB twins for EVERY query — 33 of 33. ``dedup_minhash`` runs
+    the derandomized `perm_hash="sql"` permutation scheme so DuckDB can
+    recompute signatures, band buckets and agreement counts exactly
+    (the production path keeps seeded random permutations)."""
     from toshi_ray.pipelines.queries import oracle_sql_map
 
     return oracle_sql_map()

@@ -575,3 +575,103 @@ def test_multimodal_empty_batch_safe():
     empty_dur = pa.table({"doc_id": pa.array([], pa.int64()),
                           "duration_ms": pa.array([], pa.int64())})
     assert FrameSampleStage()(empty_dur).num_rows == 0
+
+
+# ---- round-3 additions: sql-perm minhash, run caps, distributed verify ----
+
+def test_minhash_sql_perm_batch_invariant():
+    """perm_hash="sql" signatures are deterministic and batch-invariant:
+    a doc's signature never depends on which batch it arrived in."""
+    from toshi_ray.ops.dedup import MinHasher
+
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six",
+             "alpha beta gamma delta epsilon zeta"]
+    mh = MinHasher("text", "doc_id", 3, 16, perm_hash="sql")
+    full = mh.signatures(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                                   "text": texts}))
+    solo = mh.signatures(pa.table({"doc_id": pa.array([9], pa.int64()),
+                                   "text": [texts[0]]}))
+    np.testing.assert_array_equal(full[0], full[2])
+    np.testing.assert_array_equal(full[0], solo[0])
+    assert full.dtype == np.int64 and (full < (1 << 31)).all() and (full >= 0).all()
+    # an under-3-token doc gets the all-sentinel signature
+    empty = mh.signatures(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                    "text": ["one two"]}))
+    assert (empty == (1 << 31) - 1).all()
+
+
+def test_minhash_sql_mode_pairs(ray_session):
+    """End-to-end perm_hash="sql" LSH finds the near-dup pair and
+    reports est_jaccard as an exact multiple of 1/num_perm."""
+    import ray.data
+
+    from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here now " * 5
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(t), threshold=0.3, num_perm=64, bands=32,
+        perm_hash="sql",
+    ).take_all()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in keys and (0, 2) not in keys
+    for r in pairs:
+        n_agree = r["est_jaccard"] * 64
+        assert abs(n_agree - round(n_agree)) < 1e-12
+
+
+def test_ngram_jaccard_hot_shingle_run_capped(caplog):
+    """A shingle shared by more docs than max_run must be skipped (with
+    a log), bounding pair count far below the quadratic blowup."""
+    import logging
+
+    from toshi_ray.ops.dedup import _jaccard_pairs_in_group
+
+    n_docs = 500
+    # every doc shares one stock phrase (the hot run) + has unique tail
+    texts = [f"breaking news update today item{i} detail{i} extra{i}"
+             for i in range(n_docs)]
+    ids = np.arange(n_docs)
+    with caplog.at_level(logging.WARNING, logger="toshi_ray.dedup"):
+        out = _jaccard_pairs_in_group(texts, ids, 3, 0.01, max_run=64)
+    assert any("shingle runs longer than" in r.message for r in caplog.records)
+    # the hot runs ("breaking news update", "news update today") are
+    # skipped, so no quadratic 500*499/2 pair explosion
+    assert len(out) < n_docs * 10
+
+
+def test_ngram_jaccard_verify_distributed_matches_local(ray_session):
+    """The distributed reduce-side verify == direct python set jaccard,
+    including pairs referencing ids absent from the corpus (0.0)."""
+    import ray.data
+
+    from toshi_ray.analyzer import DefaultAnalyzer
+    from toshi_ray.ops.dedup import ngram_jaccard_verify_pairs
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(8, 30))) for _ in range(30)]
+    t = pa.table({"doc_id": pa.array(np.arange(30), pa.int64()), "text": texts})
+    pairs = pd.DataFrame({
+        "id_a": [0, 3, 7, 11, 2, 28],
+        "id_b": [1, 4, 9, 15, 99, 29],  # 99 missing from corpus
+    })
+    out = ngram_jaccard_verify_pairs(
+        ray.data.from_arrow(t).repartition(4), pairs)
+
+    an = DefaultAnalyzer()
+    sets = []
+    for tx in texts:
+        toks = an.tokens(tx)
+        sets.append({tuple(toks[i:i + 3]) for i in range(len(toks) - 2)})
+    for _, r in out.iterrows():
+        a, b = int(r["id_a"]), int(r["id_b"])
+        if b == 99:
+            assert r["jaccard"] == 0.0
+            continue
+        u = len(sets[a] | sets[b])
+        want = len(sets[a] & sets[b]) / u if u else 0.0
+        assert abs(r["jaccard"] - want) < 1e-12, (a, b)

@@ -83,20 +83,20 @@ def token_hash62(col: pa.Array) -> np.ndarray:
     return h1 | (h2 << _U(31))
 
 
-def _empty_pairs(metric: str, dtype) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
-            metric: pd.Series(dtype=dtype),
-        }
-    )
+def _empty_pairs(metric: str | None, dtype=None) -> pd.DataFrame:
+    cols = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+    }
+    if metric is not None:
+        cols[metric] = pd.Series(dtype=dtype)
+    return pd.DataFrame(cols)
 
 
 N_PAIR_PARTS = 64  # coarse shuffle partitions for bucket-pair generation
 
 
-def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str, dtype):
+def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str | None, dtype=None):
     """groupby a COARSE partition of the bucket hash (64 groups, not one
     Ray group per LSH bucket — per-group Python overhead would dominate
     at millions of buckets), run the per-bucket pair generator inside
@@ -230,18 +230,37 @@ def exact_dedup_drop(ds, col: str = "text", id_col: str = "doc_id"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(tc, n_docs: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+_SHINGLE_B = np.int64(1000003)  # Horner base of the SQL-mirrorable shingle hash
+
+
+def _shingle_hashes(
+    tc, n_docs: int, k: int, token_hash: str = "fast"
+) -> tuple[np.ndarray, np.ndarray]:
     """Rolling k-token shingle hashes from a TokenizedColumn →
-    (flat hashes, per-doc offsets). Shared by minhash + jaccard verify."""
-    tok_hash = _hash_strings(tc.terms)
+    (flat hashes, per-doc offsets). Shared by minhash + jaccard verify.
+
+    ``token_hash="fast"`` (default): 64-bit FNV content hash + mix.
+    ``token_hash="sql"``: 31-bit polynomial token hash folded with a
+    Horner step mod 2^31-1 — every step BIGINT-expressible in ANSI SQL
+    (DuckDB: ``list_reduce(list_slice(th, i, i+k-1), (a,b) ->
+    (a*1000003+b) % 2147483647)``), so an oracle can recompute each
+    shingle hash value-for-value."""
     counts = np.bincount(tc.doc_index, minlength=n_docs)
     offs = np.zeros(n_docs + 1, np.int64)
     np.cumsum(counts, out=offs[1:])
     # rolling combine of k consecutive token hashes within each doc
-    h = tok_hash.copy()
-    for j in range(1, k):
-        shifted = np.roll(tok_hash, -j)
-        h = _mix(h * _U(0x100000001B3) + shifted)
+    if token_hash == "sql":
+        tok_hash = _poly_hash31(tc.terms)  # int64 < 2^31
+        h = tok_hash.copy()
+        for j in range(1, k):
+            shifted = np.roll(tok_hash, -j)
+            h = (h * _SHINGLE_B + shifted) % _M31  # < 2^51 pre-mod
+    else:
+        tok_hash = _hash_strings(tc.terms)
+        h = tok_hash.copy()
+        for j in range(1, k):
+            shifted = np.roll(tok_hash, -j)
+            h = _mix(h * _U(0x100000001B3) + shifted)
     # drop the last min(k-1, count) positions of each doc — those
     # shingles would cross the doc boundary (clamped to doc start)
     keep = np.ones(h.size, dtype=bool)
@@ -276,37 +295,174 @@ def _unique_shingle_sets(col: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]
     return uniq_h, uoffs
 
 
+def _bin_array(mat_or_rows) -> pa.Array:
+    """Vectorized large_binary array: one blob per row of a 2-D uint64
+    matrix, or per (offsets, flat) pair for ragged rows."""
+    if isinstance(mat_or_rows, tuple):
+        offs, flat = mat_or_rows
+        byte_offs = (offs.astype(np.int64) * 8).tobytes()
+        data = np.ascontiguousarray(flat).view(np.uint64).tobytes()
+        n = len(offs) - 1
+    else:
+        mat = np.ascontiguousarray(mat_or_rows)
+        n, w = mat.shape
+        byte_offs = (np.arange(n + 1, dtype=np.int64) * (w * 8)).tobytes()
+        data = mat.tobytes()
+    return pa.Array.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(byte_offs), pa.py_buffer(data)]
+    )
+
+
+def _blob_offsets_flat(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a large_binary column of uint64-blob rows → (element
+    offsets, flat uint64 values), vectorized (no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.type != pa.large_binary():
+        arr = arr.cast(pa.large_binary())
+    byte_offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    flat = np.ascontiguousarray(data[byte_offs[0] : byte_offs[-1]]).view(np.uint64)
+    return ((byte_offs - byte_offs[0]) // 8), flat
+
+
+def _blob_fixed_matrix(col, width: int) -> np.ndarray:
+    """Decode a large_binary column of FIXED-width uint64 blobs to an
+    (n, width) matrix. Handles non-contiguous row storage (post-merge
+    object round-trips) via a vectorized gather."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    offs, flat = _blob_offsets_flat(arr, n)
+    if n == 0:
+        return np.empty((0, width), np.uint64)
+    idx = offs[:-1][:, None] + np.arange(width)
+    return flat[idx]
+
+
+def _attach_blob(pairs, blobs, key: str, carry: dict, out_col: str):
+    """Distributed reduce-side INNER join: attach `blobs`' binary blob
+    to each `pairs` row on pairs[key] == blobs.k, shuffled through the
+    module's standard 64 coarse hash partitions (union + groupby —
+    Ray 2.49's Dataset.join chain breaks on schema-less empty
+    partitions, and this keeps the whole file on one shuffle
+    primitive). `carry` maps the pair columns to preserve → their Arrow
+    types. Payload through the shuffle is O(pairs + docs), each doc's
+    blob shipped exactly once."""
+    carry_names = list(carry)
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"k": pa.array(k)}
+        for c in carry_names:
+            cols[c] = t[c].combine_chunks().cast(carry[c])
+        cols[out_col] = pa.nulls(len(k), pa.large_binary())
+        cols["role"] = pa.array(np.ones(len(k), np.int8))
+        cols["part"] = pa.array((_mix(k.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64))
+        return pa.table(cols)
+
+    def tag_blobs(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"k": pa.array(k)}
+        for c in carry_names:
+            cols[c] = pa.nulls(len(k), carry[c])
+        cols[out_col] = t["blob"].combine_chunks().cast(pa.large_binary())
+        cols["role"] = pa.array(np.zeros(len(k), np.int8))
+        cols["part"] = pa.array((_mix(k.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64))
+        return pa.table(cols)
+
+    out_schema = pa.schema(
+        [(key, pa.int64())]
+        + [(c, carry[c]) for c in carry_names]
+        + [(out_col, pa.large_binary())]
+    )
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["role"] == 1]
+        sig = g[g["role"] == 0]
+        if not len(pr) or not len(sig):
+            return out_schema.empty_table()
+        m = pr.drop(columns=[out_col]).merge(sig[["k", out_col]], on="k", how="inner")
+        cols = {key: pa.array(m["k"].to_numpy(), pa.int64())}
+        for c in carry_names:
+            cols[c] = pa.array(m[c], carry[c])
+        cols[out_col] = pa.array(m[out_col], pa.large_binary())
+        return pa.table(cols)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        blobs.map_batches(tag_blobs, batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(join_group, batch_format="pandas")
+
+
+_PERM_A31 = 2654435761  # Knuth multiplier — derandomized perm coefficients
+_PERM_B31 = 40503
+
+
 class MinHasher:
     """Stateful map_batches stage: word-shingle minhash signatures.
 
-    num_perm permutations via (a*h+b) mod p universal hashing; one
-    signature column list<uint64> per doc.
-    """
+    ``perm_hash="fast"`` (default, production): num_perm seeded random
+    permutations via (a*h+b) mod 2^61-1 universal hashing over 64-bit
+    shingle hashes.
+    ``perm_hash="sql"``: derandomized permutations over the 31-bit
+    polynomial shingle hash — perm p uses a_p=(2654435761*(p+1)) mod
+    2^31-1, b_p=(40503*(p+1)) mod 2^31-1, all arithmetic BIGINT-safe
+    and recomputable in ANSI SQL, so a DuckDB oracle can re-derive
+    every signature, band bucket and agreement count value-for-value
+    (the same trick that made simhash/fingerprint SQL-checkable)."""
 
-    def __init__(self, col: str, id_col: str, shingle: int, num_perm: int, seed: int = 7):
+    def __init__(
+        self,
+        col: str,
+        id_col: str,
+        shingle: int,
+        num_perm: int,
+        seed: int = 7,
+        perm_hash: str = "fast",
+    ):
         self.col, self.id_col, self.k, self.n = col, id_col, shingle, num_perm
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.perm_hash = perm_hash
+        if perm_hash == "sql":
+            p1 = np.arange(1, num_perm + 1, dtype=np.int64)
+            # M31 is prime and the multipliers are coprime to it, so
+            # a_p != 0 for every p < M31 (a_p=0 would be a degenerate perm)
+            self.a31 = (_PERM_A31 * p1) % _M31
+            self.b31 = (_PERM_B31 * p1) % _M31
+        else:
+            rng = np.random.default_rng(seed)
+            self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+            self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
         self.an = DefaultAnalyzer()
 
     def shingle_hashes(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """flat shingle hashes + per-doc offsets"""
         tc = self.an.tokenize_column(t[self.col].combine_chunks())
-        return _shingle_hashes(tc, t.num_rows, self.k)
+        return _shingle_hashes(
+            tc, t.num_rows, self.k,
+            token_hash="sql" if self.perm_hash == "sql" else "fast",
+        )
 
     def signatures(self, t: pa.Table) -> np.ndarray:
-        """(n_docs, num_perm) uint64 minhash matrix."""
+        """(n_docs, num_perm) minhash matrix: uint64 for perm_hash="fast",
+        int64 (< 2^31) for "sql". Empty docs get the hash-space max as
+        sentinel in every position."""
         h, offs = self.shingle_hashes(t)
         n_docs = t.num_rows
-        sigs = np.full((n_docs, self.n), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if self.perm_hash == "sql":
+            sigs = np.full((n_docs, self.n), int(_M31), dtype=np.int64)
+        else:
+            sigs = np.full((n_docs, self.n), np.iinfo(np.uint64).max, dtype=np.uint64)
         if h.size == 0:
             return sigs
         nonempty = np.diff(offs) > 0
         starts = offs[:-1][nonempty]
+        if not starts.size:
+            return sigs
         for p in range(self.n):  # loop over perms, vectorized over shingles
-            ph = (self.a[p] * h + self.b[p]) & _MERSENNE
-            sigs[nonempty, p] = np.minimum.reduceat(ph, starts) if starts.size else []
+            if self.perm_hash == "sql":
+                ph = (self.a31[p] * h + self.b31[p]) % _M31  # < 2^62 pre-mod
+            else:
+                ph = (self.a[p] * h + self.b[p]) & _MERSENNE
+            sigs[nonempty, p] = np.minimum.reduceat(ph, starts)
         return sigs
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -331,24 +487,47 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    perm_hash: str = "fast",
 ):
     """→ Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard).
 
-    Pipeline: minhash sigs → explode (band, band_hash, doc_id) →
-    groupby(band, band_hash) → pairs within bucket → estimate jaccard
-    from signature agreement; filter by threshold. The final exact
-    verify (token-shingle Jaccard) is `ngram_jaccard_verify`.
+    Pipeline: minhash sigs (materialized ONCE — ~num_perm*8 B/doc, far
+    smaller than the text it summarizes) → explode (band, band_hash,
+    doc_id) → groupby(band, band_hash) → candidate id pairs within
+    bucket → hash-join the signature table back onto the surviving
+    pairs → estimate jaccard from signature agreement; filter by
+    threshold. The band shuffle carries ONLY (band, bh, part, id) —
+    never the full signature — so its payload is ~24 B/doc/band instead
+    of num_perm*8 B/doc/band. The final exact verify (token-shingle
+    Jaccard) is `ngram_jaccard_verify_pairs`.
+
+    ``perm_hash="sql"`` switches to the derandomized 31-bit permutation
+    scheme (see MinHasher) whose signatures, buckets and agreement
+    counts a DuckDB oracle recomputes exactly.
     """
     rows_per_band = num_perm // bands
+    sigs_ds = ds.map_batches(
+        MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash),
+        batch_format="pyarrow",
+    ).materialize()  # consumed 3× (explode + both join sides)
 
     def explode(t: pa.Table) -> pa.Table:
-        mh = MinHasher(col, id_col, shingle, num_perm)
-        sigs = mh.signatures(t)
         n = t.num_rows
+        sigs = np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm)
         band_view = sigs.reshape(n, bands, rows_per_band)
-        bh = band_view[:, :, 0].astype(np.uint64)
-        for j in range(1, rows_per_band):
-            bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
+        if perm_hash == "sql":
+            # 62-bit double polynomial over band values (< 2^31 each):
+            # collision-free enough to mirror SQL's exact slice grouping
+            v = band_view.astype(np.int64)
+            b1, b2 = v[:, :, 0].copy(), v[:, :, 0].copy()
+            for j in range(1, rows_per_band):
+                b1 = (b1 * _SHINGLE_B + v[:, :, j]) % _M31
+                b2 = (b2 * np.int64(131) + v[:, :, j]) % _M31
+            bh = b1.astype(np.uint64) | (b2.astype(np.uint64) << _U(31))
+        else:
+            bh = band_view[:, :, 0].astype(np.uint64)
+            for j in range(1, rows_per_band):
+                bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
         ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), bands)
         bh_flat = bh.reshape(-1)
         return pa.table(
@@ -357,27 +536,57 @@ def minhash_lsh_pairs(
                 "bh": pa.array(bh_flat),
                 "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
                 id_col: pa.array(ids),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sigs, bands, axis=0).reshape(-1)), num_perm
-                ),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return _empty_pairs("est_jaccard", float)
+            return _empty_pairs(None)
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
         ia, ib = _pair_index(len(g), bucket_cap)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    exploded = sigs_ds.map_batches(explode, batch_format="pyarrow")
+    cand = _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, None)
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        # one binary blob per doc (vectorized encode; byte equality ==
+        # value equality for the agreement test)
+        n = t.num_rows
+        sigs = np.ascontiguousarray(
+            np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+        ).view(np.uint64)
+        return pa.table({"k": t[id_col].combine_chunks().cast(pa.int64()),
+                         "blob": _bin_array(sigs.reshape(n, -1))})
+
+    blob_ds = sigs_ds.map_batches(to_blob, batch_format="pyarrow")
+    with_a = _attach_blob(cand, blob_ds, "id_a", {"id_b": pa.int64()}, "sig_a")
+    with_b = _attach_blob(
+        with_a, blob_ds, "id_b",
+        {"id_a": pa.int64(), "sig_a": pa.large_binary()}, "sig_b",
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or t.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        sa = _blob_fixed_matrix(t["sig_a"], num_perm)
+        sb = _blob_fixed_matrix(t["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
         keep = est >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
+        return pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks().cast(pa.int64()).filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().cast(pa.int64()).filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep]),
+            }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, "est_jaccard", float)
+    return with_b.map_batches(estimate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -456,14 +665,27 @@ def simhash_near_dup_pairs(
 # Exact n-gram Jaccard verify (within candidate buckets)
 # ---------------------------------------------------------------------------
 
+MAX_SHINGLE_RUN = 256  # docs sharing one shingle before it's skipped
+
+
 def _jaccard_pairs_in_group(
-    texts: list, ids: np.ndarray, n: int, threshold: float
+    texts: list, ids: np.ndarray, n: int, threshold: float,
+    max_run: int = MAX_SHINGLE_RUN,
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard for all pairs of one bucket, vectorized:
     per-doc sorted-unique shingle-hash sets, then an inverted pass over
     shared shingles (output-sensitive — cost ~ Σ per-shingle pairs, not
     m² string-set work). 64-bit shingle hashes stand in for exact tuple
-    sets; a cross-doc collision would need ~2^32 shingles."""
+    sets; a cross-doc collision would need ~2^32 shingles.
+
+    Runs longer than ``max_run`` (a shingle shared by hundreds of docs —
+    boilerplate, stock phrases) are SKIPPED, never silently: each skip
+    is logged. Such a shingle contributes O(L²) candidate pairs but
+    almost no per-pair Jaccard signal, and one hot phrase in a popular
+    bucket would otherwise go quadratic. The skip makes reported
+    jaccard a lower bound for pairs sharing that shingle; production
+    near-dup flows should prefer the LSH-candidate verify
+    (`ngram_jaccard_verify_pairs`), which is exact per pair."""
     m = len(ids)
     flat, offs = _unique_shingle_sets(pa.array(texts, type=pa.string()), n)
     sizes = np.diff(offs)
@@ -477,13 +699,23 @@ def _jaccard_pairs_in_group(
     run_starts = np.nonzero(new)[0]
     run_ends = np.append(run_starts[1:], hs.size)
     keys = []
+    n_skipped = 0
     for s, e in zip(run_starts, run_ends):  # loop count = n shared shingles
         L = e - s
         if L < 2:
             continue
+        if L > max_run:
+            n_skipped += 1
+            continue
         docs = np.sort(ds_[s:e])
         ia, ib = np.triu_indices(L, k=1)
         keys.append(docs[ia] * m + docs[ib])
+    if n_skipped:
+        _LOG.warning(
+            "ngram-jaccard: skipped %d shingle runs longer than %d docs "
+            "(pair jaccard is a lower bound for docs sharing them)",
+            n_skipped, max_run,
+        )
     if not keys:
         return _empty_pairs("jaccard", float)
     pair_keys, inter = np.unique(np.concatenate(keys), return_counts=True)
@@ -504,11 +736,13 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.2,
+    max_run: int = MAX_SHINGLE_RUN,
 ):
     """Exact token-n-gram Jaccard for every pair within a bucket
     (e.g. bucket = source or an LSH bucket). Buckets shuffle via 64
     coarse hash partitions (never one Ray group per bucket); inside,
-    the pair verify is the vectorized inverted-shingle pass."""
+    the pair verify is the vectorized inverted-shingle pass with the
+    `max_run` skew cap (see `_jaccard_pairs_in_group`)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         b = t[bucket_col].combine_chunks().cast(pa.string()).cast(pa.large_binary())
@@ -522,7 +756,8 @@ def ngram_jaccard_pairs(
                 continue
             sub = sub.sort_values(id_col)
             out = _jaccard_pairs_in_group(
-                sub[col].fillna("").tolist(), sub[id_col].to_numpy(), n, threshold
+                sub[col].fillna("").tolist(), sub[id_col].to_numpy(), n, threshold,
+                max_run,
             )
             if len(out):
                 outs.append(out)
@@ -544,12 +779,16 @@ def ngram_jaccard_verify_pairs(
     n: int = 3,
 ) -> pd.DataFrame:
     """Exact-Jaccard verify for an EXPLICIT candidate-pair list (the
-    stage after `minhash_lsh_pairs`): only docs appearing in a pair are
-    shingled (id set broadcast once via ray.put), each doc's sorted
-    unique shingle-hash set ships to the driver once, and each pair is
-    one np.intersect1d. Cost ~ O(candidate docs + pairs), independent
-    of corpus size."""
+    stage after `minhash_lsh_pairs`), fully distributed: only docs
+    appearing in a pair are shingled (id set broadcast once via
+    ray.put), each doc's sorted-unique shingle-hash set travels the
+    shuffle exactly once as a binary blob, pairs co-shuffle with both
+    blobs through the module's 64-partition reduce-side join, and the
+    per-partition intersection count is one vectorized sort pass over
+    (pair, hash) — no driver materialization, no per-pair Python loop.
+    Cost ~ O(candidate docs + Σ set sizes), independent of corpus size."""
     import ray
+    import ray.data
 
     if not len(pairs):
         return pairs.assign(jaccard=pd.Series(dtype=float))
@@ -563,34 +802,74 @@ def ngram_jaccard_verify_pairs(
         mask = np.isin(ids, ray.get(ref))
         if not mask.any():
             return pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "sh": pa.array([], pa.large_list(pa.uint64()))}
+                {"k": pa.array([], pa.int64()),
+                 "blob": pa.array([], pa.large_binary())}
             )
         sub = t.filter(pa.array(mask))
         flat, offs = _unique_shingle_sets(
             sub[col].combine_chunks().cast(pa.string()), n
         )
+        return pa.table({"k": pa.array(ids[mask]), "blob": _bin_array((offs, flat))})
+
+    blob_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(pairs["id_a"].to_numpy().astype(np.int64)),
+                "id_b": pa.array(pairs["id_b"].to_numpy().astype(np.int64)),
+            }
+        )
+    )
+    with_a = _attach_blob(pairs_ds, blob_ds, "id_a", {"id_b": pa.int64()}, "sh_a")
+    with_b = _attach_blob(
+        with_a, blob_ds, "id_b",
+        {"id_a": pa.int64(), "sh_a": pa.large_binary()}, "sh_b",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0 or t.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        offs_a, flat_a = _blob_offsets_flat(t["sh_a"], m)
+        offs_b, flat_b = _blob_offsets_flat(t["sh_b"], m)
+        size_a, size_b = np.diff(offs_a), np.diff(offs_b)
+        # vectorized per-pair intersection: tag every hash with its pair
+        # index, sort (pair, hash) over both sides concatenated, count
+        # adjacent duplicates per pair (sets are unique per side, so a
+        # duplicate == one element present in both sets)
+        pair_of = np.concatenate(
+            [np.repeat(np.arange(m, dtype=np.int64), size_a),
+             np.repeat(np.arange(m, dtype=np.int64), size_b)]
+        )
+        hval = np.concatenate([flat_a, flat_b])
+        order = np.lexsort((hval, pair_of))
+        p_s, h_s = pair_of[order], hval[order]
+        dup = np.zeros(p_s.size, bool)
+        if p_s.size > 1:
+            dup[1:] = (p_s[1:] == p_s[:-1]) & (h_s[1:] == h_s[:-1])
+        inter = np.bincount(p_s[dup], minlength=m) if p_s.size else np.zeros(m, np.int64)
+        union = size_a + size_b - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         return pa.table(
             {
-                id_col: pa.array(ids[mask]),
-                "sh": pa.LargeListArray.from_arrays(
-                    pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())
-                ),
+                "id_a": t["id_a"].combine_chunks().cast(pa.int64()),
+                "id_b": t["id_b"].combine_chunks().cast(pa.int64()),
+                "jaccard": pa.array(jac),
             }
         )
 
-    rows = ds.map_batches(sigs, batch_format="pyarrow").take_all()
-    sets = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64) for r in rows}
-    jac = np.empty(len(pairs), np.float64)
-    for i, (a, b) in enumerate(zip(pairs["id_a"], pairs["id_b"])):
-        sa, sb = sets.get(int(a)), sets.get(int(b))
-        if sa is None or sb is None or (sa.size + sb.size) == 0:
-            jac[i] = 0.0
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        jac[i] = inter / (sa.size + sb.size - inter)
+    verified = with_b.map_batches(verify, batch_format="pyarrow").take_all()
+    got = {(int(r["id_a"]), int(r["id_b"])): float(r["jaccard"]) for r in verified}
     out = pairs.copy()
-    out["jaccard"] = jac
+    # pairs whose doc id is missing from the corpus (no blob row) drop
+    # out of the inner join — preserve the old contract: jaccard 0.0
+    out["jaccard"] = [
+        got.get((int(a), int(b)), 0.0)
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
     return out
 
 

@@ -120,6 +120,53 @@ ORDER BY doc_id
 """
 
 
+def minhash_sql(num_perm: int = 64, bands: int = 16, min_agree: int = 20) -> str:
+    """Recompute the derandomized minhash LSH pipeline entirely in SQL
+    (the `perm_hash="sql"` twin of `minhash_lsh_pairs`): per-token
+    31-bit polynomial hash → rolling 3-shingle Horner fold mod 2^31-1 →
+    per-permutation (a_p*s+b_p) mod 2^31-1 minima (a_p=2654435761*(p+1),
+    b_p=40503*(p+1), both mod 2^31-1) → group docs by exact band slices
+    → candidate pairs → per-pair signature agreement count. Every step
+    is BIGINT-safe (max product < 2^62). ``min_agree`` is the smallest
+    integer n with n/num_perm >= the engine threshold (0.3*64 → 20)."""
+    rpb = num_perm // bands
+    sentinel = 2147483647
+    return f"""
+WITH {TOKENS_CTE},
+th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
+sh AS (SELECT doc_id,
+         list_transform(range(1, len(th) - 1),
+           i -> list_reduce(list_slice(th, i, i + 2),
+                            (a, b) -> (a * 1000003 + b) % {sentinel})) AS shs
+       FROM th),
+perm AS (SELECT p, (2654435761 * (p + 1)) % {sentinel} AS a,
+                (40503 * (p + 1)) % {sentinel} AS b
+         FROM (SELECT unnest(range({num_perm})) AS p)),
+flat AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+mins AS (SELECT doc_id, p, min((a * s + b) % {sentinel}) AS mh
+         FROM flat, perm GROUP BY doc_id, p),
+sigl AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM mins GROUP BY doc_id),
+allsig AS (SELECT t.doc_id,
+             coalesce(s.sig, list_transform(range({num_perm}),
+                                            x -> CAST({sentinel} AS BIGINT))) AS sig
+           FROM toks t LEFT JOIN sigl s USING (doc_id)),
+bnd AS (SELECT doc_id, b, list_slice(sig, b * {rpb} + 1, b * {rpb} + {rpb}) AS bsig
+        FROM allsig, (SELECT unnest(range({bands})) AS b)),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bnd x JOIN bnd y ON x.b = y.b AND x.bsig = y.bsig
+                                  AND x.doc_id < y.doc_id),
+scored AS (SELECT c.id_a, c.id_b,
+             len(list_filter(range(1, {num_perm} + 1),
+                             i -> sa.sig[i] = sb.sig[i])) AS n_agree
+           FROM cand c
+           JOIN allsig sa ON sa.doc_id = c.id_a
+           JOIN allsig sb ON sb.doc_id = c.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_agree AS BIGINT) AS n_agree
+FROM scored WHERE n_agree >= {min_agree} ORDER BY id_a, id_b
+"""
+
+
 def fingerprint_sql() -> str:
     """Horner fold over per-token hashes, mod 2^31-1 — the exact engine
     recurrence (fp = fp*1000003 + h, all BIGINT-safe)."""
@@ -360,11 +407,29 @@ def q_dedup_drop(sf_dir: str) -> pd.DataFrame:
 
 
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash LSH with the derandomized SQL-mirrorable permutation
+    scheme (`perm_hash="sql"`): the DuckDB oracle recomputes every
+    signature, band bucket and agreement count value-for-value. The
+    production path keeps seeded random permutations; the banding and
+    pair machinery is the same code. est_jaccard = n_agree/64 exactly,
+    so the integer agreement count is returned (driver float rule)."""
     from toshi_ray.ops.dedup import minhash_lsh_pairs
 
-    rows = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16).take_all()
-    df = pd.DataFrame(rows) if rows else pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    rows = minhash_lsh_pairs(
+        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql"
+    ).take_all()
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "n_agree": pd.Series(dtype="int64")})
+    df = pd.DataFrame(rows)
+    df["n_agree"] = np.rint(df["est_jaccard"] * 64).astype("int64")
+    return (
+        df.drop(columns=["est_jaccard"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
@@ -793,6 +858,7 @@ FROM documents GROUP BY text ORDER BY doc_id
 """
 
     sql["simhash"] = simhash62_sql()
+    sql["dedup_minhash"] = minhash_sql()
     sql["fingerprint"] = fingerprint_sql()
 
     # all pairs within a source whose exact token-trigram jaccard clears

@@ -37,6 +37,24 @@ def test_unicode_alphanumeric():
     assert an.tokens("Füße straße") == ["füße", "straße"]
 
 
+def test_chain_order_split_then_lowercase():
+    """Tantivy's chain is SimpleTokenizer → RemoveLongFilter →
+    LowerCaser. A fold-FIRST chain would lowercase 'İ' (U+0130) into a
+    form with a combining mark and shred the token at the split step;
+    the pinned order splits the raw text, so the token stays whole.
+    (Remaining documented nuance: Arrow's utf8_lower applies SIMPLE
+    case mappings — 'İ' → 'i' — while Rust's to_lowercase applies the
+    full mapping 'i'+U+0307; one-codepoint difference, no structural
+    divergence.)"""
+    assert an.tokens("İstanbul Meeting") == ["istanbul", "meeting"]
+    # ẞ (U+1E9E) → ß: same class, survives either order
+    assert an.tokens("GROẞE") == ["große"]
+    # RemoveLongFilter sees ORIGINAL bytes: 19×'İ' is 38 raw bytes
+    # (< 40) — kept; 20×'İ' (40 raw bytes) is dropped
+    assert an.tokens("İ" * 19) == ["i" * 19]
+    assert an.tokens("İ" * 20) == []
+
+
 def test_positions_have_gaps_for_dropped_long_tokens():
     tc = an.tokenize_column(pa.array(["x " + "b" * 50 + " y"]))
     assert tc.terms.to_pylist() == ["x", "y"]

@@ -655,6 +655,47 @@ def test_merge_resumes_from_partition_checkpoints(ray_session):
     # fresh checkpoints survive a default-grace gc (in-flight protection)
 
 
+def test_gc_keeps_resumable_checkpoints(ray_session):
+    """gc must NOT discard a crashed merge's checkpoints while every
+    source segment is still live/unchanged — a retry (even after a
+    scheduled gc with zero grace) resumes all partitions. Once the
+    merge publishes and its sources leave the manifest, the same gc
+    reclaims the checkpoint immediately."""
+    import os
+    import shutil
+
+    from toshi_ray.pipelines.build import load_manifest
+    from toshi_ray.pipelines.merge import gc_segments
+
+    root = tempfile.mkdtemp(prefix="toshi_gc_resume_")
+    build_index(pages_dataset(600, parallelism=2), page_schema(), root,
+                docs_per_segment=100)
+    mpath = os.path.join(root, "manifest.json")
+    manifest_before = open(mpath).read()
+
+    merge_segments(root, hot_df_threshold=300, shard_span=400)
+    merged = [s for s in load_manifest(root)["segments"]
+              if s["name"].startswith("seg-merged")][0]
+    # crash before publish: manifest rolled back, final dir gone,
+    # sources live again, checkpoints on disk
+    shutil.rmtree(os.path.join(root, "segments", merged["name"]))
+    with open(mpath, "w") as f:
+        f.write(manifest_before)
+
+    gc_segments(root, checkpoint_grace_s=0)  # aggressive scheduled gc
+    ck = os.path.join(root, ".merge-ckpt")
+    assert os.path.isdir(ck) and os.listdir(ck), "resumable ckpt was gc'ed"
+
+    merge_segments(root, hot_df_threshold=300, shard_span=400)
+    merged2 = [s for s in load_manifest(root)["segments"]
+               if s["name"].startswith("seg-merged")][0]
+    assert merged2["metrics"]["parts_resumed"] == merged2["metrics"]["parts"]
+
+    # after publish the sources are dead → the same gc reclaims it
+    gc_segments(root, checkpoint_grace_s=0)
+    assert (not os.path.isdir(ck)) or os.listdir(ck) == []
+
+
 def test_merge_checkpoints_invalidate_on_rebuild(ray_session, tmp_path):
     """A leftover merge checkpoint must NOT be resumed after an
     overwrite rebuild that reproduces the same segment names over

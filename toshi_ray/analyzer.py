@@ -17,15 +17,22 @@ split — phrase queries see those gaps.
 Everything is vectorized: `pyarrow.compute` regex split + numpy offset
 arithmetic; no Python loop over rows or tokens.
 
-INTENTIONAL DIVERGENCE (documented, like the SQL-twin caveat): this
-implementation lowercases BEFORE splitting, while tantivy's chain
-splits first and lowercases last. The two differ only when Unicode
-case-folding changes the character class or byte length of a token —
-e.g. 'İ' folds to 'i' + combining U+0307, which then splits, or a
-token whose lowercase form crosses the 40-byte limit. On ASCII text
-(all test corpora, and the DuckDB oracle twin) the chains are
-byte-identical; we keep the fold-first order because it lets the whole
-batch run through two Arrow kernels with no per-token pass.
+Chain ORDER matches tantivy exactly: the un-lowered column is split,
+the 40-byte RemoveLongFilter is applied to the ORIGINAL token bytes,
+and only the surviving tokens are lowercased (LowerCaser last). This
+matters on Unicode input where case folding changes character class or
+byte length — a fold-first chain would lowercase 'İ' (U+0130) into a
+combining-mark form and shred the token at the split step; the pinned
+engine (and this chain) keeps the token whole. Still the same two
+Arrow kernels, just swapped — lowercasing now touches only kept
+tokens. On ASCII text the DuckDB oracle twin
+(`regexp_split_to_array(lower(text), ...)`) remains byte-identical.
+
+Remaining documented nuance: Arrow's `utf8_lower` applies SIMPLE
+Unicode case mappings (UnicodeData.txt: 'İ' → 'i'), while Rust's
+`str::to_lowercase` applies the full SpecialCasing mapping
+('i' + U+0307). One-codepoint lexical difference on that character
+class; no structural/tokenization divergence remains.
 """
 
 from __future__ import annotations
@@ -71,8 +78,9 @@ class DefaultAnalyzer:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = pc.fill_null(col, "")
-        lowered = pc.utf8_lower(col)
-        lists = pc.split_pattern_regex(lowered, pattern=_SPLIT_PATTERN)
+        # SimpleTokenizer first: split the UN-lowered text (LowerCaser
+        # runs last in tantivy's chain — see module docstring)
+        lists = pc.split_pattern_regex(col, pattern=_SPLIT_PATTERN)
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = lists.flatten()
@@ -91,9 +99,11 @@ class DefaultAnalyzer:
         base_at_doc_start[has] = cum[starts[has]] - nonempty[starts[has]]
         positions_all = cum - 1 - base_at_doc_start[doc_index] if len(flat) else cum
 
+        # RemoveLongFilter sees the ORIGINAL token bytes (pre-lowering);
+        # LowerCaser is last and touches only the kept tokens
         keep = nonempty & (byte_len < MAX_TOKEN_BYTES)
         keep_idx = np.nonzero(keep)[0]
-        terms = flat.take(pa.array(keep_idx))
+        terms = pc.utf8_lower(flat.take(pa.array(keep_idx)))
         doc_index = doc_index[keep_idx]
         positions = positions_all[keep_idx] if len(flat) else np.empty(0, np.int64)
         norms = np.bincount(doc_index, minlength=n_docs).astype(np.int64)

@@ -212,7 +212,27 @@ def build_ivf_index(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     if centroids.shape[0] > 16:
-        assigned = assigned.sort("cell")  # co-locate cells → O(blocks) files
+        # co-locate cells → O(blocks) files. A HASH repartition on the
+        # cell key suffices (cells only need to share a block, not be
+        # globally ordered) — a range sort here would be a needless
+        # all-to-all with sampling + range exchange.
+        n_out = max(4, min(64, centroids.shape[0] // 4))
+
+        def cell_part(t: pa.Table) -> pa.Table:
+            c = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            z = c + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            return t.append_column(
+                "_cp", pa.array((z % np.uint64(n_out)).astype(np.int64))
+            )
+
+        assigned = (
+            assigned.map_batches(cell_part, batch_format="pyarrow")
+            .groupby("_cp")
+            .map_groups(
+                lambda t: t.drop_columns(["_cp"]), batch_format="pyarrow"
+            )
+        )
     assigned.write_parquet(path, partition_cols=["cell"])
     return path
 

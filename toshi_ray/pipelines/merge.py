@@ -420,6 +420,20 @@ def apply_tombstones_to_postings(batch: pa.Table, tombs: np.ndarray) -> pa.Table
     return pa.concat_tables([clean, rebuilt])
 
 
+def _segment_content_sig(seg_dir: str, name: str) -> str:
+    """Content identity of one source segment's postings: file names +
+    sizes + mtimes. Shared by merge-checkpoint keying and gc's
+    resumability check — the two must agree exactly."""
+    p = _resolve(os.path.join(seg_dir, name, POSTINGS_FILE))
+    files = (
+        sorted(os.path.join(p, f) for f in os.listdir(p))
+        if os.path.isdir(p) else [p]
+    )
+    st = [(os.path.basename(f), os.path.getsize(f),
+           os.stat(f).st_mtime_ns) for f in files]
+    return f"{name}:{st}"
+
+
 def merge_segments(
     index_root: str,
     seg_names: list[str] | None = None,
@@ -462,14 +476,7 @@ def merge_segments(
     from toshi_ray.pipelines.build import FORMAT_VERSION
 
     def _content_sig(name: str) -> str:
-        p = _resolve(os.path.join(seg_dir, name, POSTINGS_FILE))
-        files = (
-            sorted(os.path.join(p, f) for f in os.listdir(p))
-            if os.path.isdir(p) else [p]
-        )
-        st = [(os.path.basename(f), os.path.getsize(f),
-               os.stat(f).st_mtime_ns) for f in files]
-        return f"{name}:{st}"
+        return _segment_content_sig(seg_dir, name)
 
     merge_key = hashlib.sha1(
         "|".join(
@@ -528,6 +535,15 @@ def merge_segments(
     t0 = __import__("time").perf_counter()
     ckpt = os.path.join(index_root, ".merge-ckpt", merge_key)
     os.makedirs(ckpt, exist_ok=True)
+    # record the checkpoint's source identity so gc can keep it exactly
+    # as long as a retried merge of these segments could resume from it
+    # (see gc_segments) — age alone must not discard resumability
+    src_meta = os.path.join(ckpt, "sources.json")
+    if not os.path.exists(src_meta):
+        with open(src_meta + ".tmp", "w") as f:
+            json.dump({"names": sorted(names),
+                       "sigs": [_content_sig(n) for n in sorted(names)]}, f)
+        os.rename(src_meta + ".tmp", src_meta)
 
     def merge_and_write(t: pa.Table) -> pa.Table:
         """One shuffle partition → one idempotent checkpoint file."""
@@ -607,9 +623,24 @@ def merge_segments(
         finally:
             ctx.execution_options.preserve_order = prev_preserve
 
-    dv = pq.read_table(os.path.join(tmp, "docvalues"), columns=["doc_id"])
-    n_docs = dv.num_rows
-    ids = dv["doc_id"].to_numpy(zero_copy_only=False)
+    # num_docs / min / max come from parquet FOOTER metadata (row counts
+    # + row-group statistics) — never a data-page read: at 10^9 docs the
+    # doc_id column alone would be ~8 GB of driver RAM
+    n_docs = 0
+    id_min, id_max = None, None
+    dv_dir = os.path.join(tmp, "docvalues")
+    for fn in os.listdir(dv_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dv_dir, fn)).metadata
+        n_docs += md.num_rows
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or st.min is None or not md.row_group(rg).num_rows:
+                continue
+            id_min = st.min if id_min is None else min(id_min, st.min)
+            id_max = st.max if id_max is None else max(id_max, st.max)
     field_stats: dict[str, dict] = {}
     for s in sources:
         for f, st in s.get("field_stats", {}).items():
@@ -620,8 +651,8 @@ def merge_segments(
     meta = {
         "name": new_name,
         "num_docs": int(n_docs),
-        "min_doc_id": int(ids.min()) if n_docs else 0,
-        "max_doc_id": int(ids.max()) if n_docs else 0,
+        "min_doc_id": int(id_min) if id_min is not None else 0,
+        "max_doc_id": int(id_max) if id_max is not None else 0,
         "field_stats": field_stats,
         "merged_from": names,  # lineage
         "metrics": {
@@ -662,12 +693,20 @@ def maybe_merge(index_root: str, **kw) -> list[dict]:
 
 def gc_segments(index_root: str, *, checkpoint_grace_s: float = 3600.0) -> int:
     """Delete segment dirs no longer referenced by the manifest, plus
-    merge checkpoints idle longer than ``checkpoint_grace_s``.
+    merge checkpoints that can no longer be resumed from.
 
-    In-flight protection: `.tmp-*` assembly dirs are never touched, and
-    a checkpoint dir whose newest file is younger than the grace window
-    is assumed to belong to a running merge (merges on this class of
-    box can take minutes)."""
+    Checkpoint retention is decided by SOURCE LIVENESS, not age: each
+    checkpoint records its source segments' content signatures
+    (`sources.json`); as long as every source is still live with
+    unchanged content, a crashed merge retried later — even days later
+    — resumes from the per-partition files, so the checkpoint is KEPT.
+    Once any source segment is gone or rewritten (e.g. the merge
+    published and its inputs were gc'ed) no future merge can produce
+    the same key, and the checkpoint is reclaimed immediately.
+    ``checkpoint_grace_s`` only governs legacy checkpoints without a
+    `sources.json` (pre-upgrade), where age is the only signal.
+
+    In-flight protection: `.tmp-*` assembly dirs are never touched."""
     import time
 
     manifest = load_manifest(index_root)
@@ -683,6 +722,20 @@ def gc_segments(index_root: str, *, checkpoint_grace_s: float = 3600.0) -> int:
         now = time.time()
         for key in list(os.listdir(ckpt_root)):
             d = os.path.join(ckpt_root, key)
+            src_meta = os.path.join(d, "sources.json")
+            if os.path.exists(src_meta):
+                try:
+                    with open(src_meta) as f:
+                        src = json.load(f)
+                    resumable = all(nm in live for nm in src["names"]) and [
+                        _segment_content_sig(seg_dir, nm) for nm in src["names"]
+                    ] == src["sigs"]
+                except (OSError, ValueError, KeyError):
+                    resumable = False
+                if not resumable:
+                    shutil.rmtree(d, ignore_errors=True)
+                continue
+            # legacy checkpoint without source metadata: age heuristic
             try:
                 newest = max(
                     (os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)),

@@ -503,8 +503,23 @@ def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     q = np.stack([r["embedding"] for r in head])
     qids = np.array([r["vec_id"] for r in head])
     df = brute_force_topk(_emb_ds(sf_dir), q, k=10, query_ids=qids)
+    return _quantized_ann_frame(df)
+
+
+def _quantized_ann_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver float rule: quantize AND order on the quantized value on
+    both engine and SQL sides — two candidates whose raw cosines differ
+    only in the last ulps can sort either way between numpy and DuckDB
+    summation orders, so raw-score row order is not comparable."""
+    df = df.copy()
     df["score_x1e3"] = np.floor(df["score"] * 1000.0 + 0.5).astype("int64")
-    return df.drop(columns=["score"]).astype({"query_id": "int64", "vec_id": "int64"})
+    return (
+        df.drop(columns=["score"])
+        .astype({"query_id": "int64", "vec_id": "int64"})
+        .sort_values(["query_id", "score_x1e3", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
@@ -530,8 +545,7 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     if not os.path.isdir(path):
         build_ivf_index(emb, cent, path)
     df = ivf_index_topk(path, q, cent, k=10, nprobe=8, query_ids=qids)
-    df["score_x1e3"] = np.floor(df["score"] * 1000.0 + 0.5).astype("int64")
-    return df.drop(columns=["score"]).astype({"query_id": "int64", "vec_id": "int64"})
+    return _quantized_ann_frame(df)
 
 
 def q_text_normalize(sf_dir: str) -> pd.DataFrame:

@@ -91,14 +91,40 @@ class Stats:
     tombstones: np.ndarray | None = None
 
 
+def _levenshtein_filter_arrow(
+    terms: "pa.Array | pa.ChunkedArray", query: str, distance: int, transposition: bool
+) -> list[str]:
+    """Arrow-native fuzzy expansion over the segment's on-disk term
+    dict column (already unique): length-prefilter with pc.utf8_length
+    so only the |len−qlen| ≤ d window is ever materialized into Python,
+    then the vectorized DP on the survivors. Avoids the to_pylist +
+    sorted(set(...)) churn of a web-scale dict (10^7 terms)."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    if distance == 0:
+        return terms.filter(pc.equal(terms, query)).to_pylist()
+    lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+    mask = np.abs(lens.astype(np.int64) - len(query)) <= distance
+    if not mask.any():
+        return []
+    return _levenshtein_filter(
+        terms.filter(pa.array(mask)).to_pylist(), query, distance, transposition,
+        _prefiltered=True,
+    )
+
+
 def _levenshtein_filter(
-    terms: list[str], query: str, distance: int, transposition: bool
+    terms: list[str], query: str, distance: int, transposition: bool,
+    _prefiltered: bool = False,
 ) -> list[str]:
     """Terms within edit distance — vectorized DP over the candidate matrix."""
     if distance == 0:
         return [t for t in terms if t == query]
     q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
-    cands = [t for t in terms if abs(len(t) - len(query)) <= distance]
+    cands = (
+        terms if _prefiltered
+        else [t for t in terms if abs(len(t) - len(query)) <= distance]
+    )
     if not cands:
         return []
     # candidate code-point matrix in ONE encode + one vectorized scatter
@@ -339,6 +365,11 @@ class SegmentGroupScorer:
         cand_scores: list[np.ndarray] = []
         n_cand = 0
         theta = -np.inf
+        # bounded running top-k buffer: a doc appears in exactly one
+        # block of the posting list, so the k-th largest of
+        # (buffer ∪ new block scores) IS the global k-th largest —
+        # θ maintenance is O(k + block) per block, not O(candidates)
+        topk_buf = np.empty(0, np.float64)
         for ub, ri, b in blocks:
             if n_cand >= k and ub < theta:
                 break
@@ -358,9 +389,11 @@ class SegmentGroupScorer:
             cand_ids.append(ids)
             cand_scores.append(scores)
             n_cand += ids.size
+            topk_buf = np.concatenate([topk_buf, scores])
+            if topk_buf.size > k:
+                topk_buf = np.partition(topk_buf, topk_buf.size - k)[topk_buf.size - k :]
             if n_cand >= k:
-                allsc = np.concatenate(cand_scores)
-                theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+                theta = float(topk_buf.min())
         if not cand_ids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         ids = np.concatenate(cand_ids)
@@ -450,6 +483,7 @@ class SegmentGroupScorer:
         cand_scores: list[np.ndarray] = []
         n_cand = 0
         theta = -np.inf
+        topk_buf = np.empty(0, np.float64)
         for r in order:
             if n_cand >= k and bounds[r] < theta:
                 break
@@ -475,9 +509,14 @@ class SegmentGroupScorer:
             cand_ids.append(uids)
             cand_scores.append(usc)
             n_cand += uids.size
+            # bounded running top-k: regions partition doc-id space, so
+            # per-doc sums never span regions — θ maintenance is
+            # O(k + region), not O(total candidates) per region
+            topk_buf = np.concatenate([topk_buf, usc])
+            if topk_buf.size > k:
+                topk_buf = np.partition(topk_buf, topk_buf.size - k)[topk_buf.size - k :]
             if n_cand >= k:
-                allsc = np.concatenate(cand_scores)
-                theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+                theta = float(topk_buf.min())
         if not cand_ids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         ids = np.concatenate(cand_ids)
@@ -533,11 +572,14 @@ class SegmentGroupScorer:
             ck = (reader.dir, node.field, node)
             matched = self._expand_cache.get(ck)
             if matched is None:
+                # the dict stays Arrow end-to-end: terms are unique per
+                # (segment, field) on disk, so no sorted(set(to_pylist()))
+                # — only the matching terms ever become Python strings
                 dict_tbl = reader.term_dict(node.field)
-                uniq = sorted(set(dict_tbl["term"].to_pylist()))
+                terms_arr = dict_tbl["term"].combine_chunks()
                 if isinstance(node, FuzzyQuery):
-                    matched = _levenshtein_filter(
-                        uniq, node.value, node.distance, node.transposition
+                    matched = _levenshtein_filter_arrow(
+                        terms_arr, node.value, node.distance, node.transposition
                     )
                 else:
                     try:
@@ -545,9 +587,9 @@ class SegmentGroupScorer:
                     except re.error:
                         raise QueryError.execution(f"Invalid regex: {node.pattern}")
                     matched_mask = pc.match_substring_regex(
-                        pa.array(uniq, type=pa.string()), f"^(?:{node.pattern})$"
-                    ).to_numpy(zero_copy_only=False)
-                    matched = [t for t, m in zip(uniq, matched_mask) if m]
+                        terms_arr, f"^(?:{node.pattern})$"
+                    )
+                    matched = terms_arr.filter(matched_mask).to_pylist()
                 if len(self._expand_cache) >= 1024:  # bound actor memory
                     self._expand_cache.pop(next(iter(self._expand_cache)))
                 self._expand_cache[ck] = matched
@@ -943,9 +985,14 @@ class Searcher:
         self._kill_pools(doomed)
 
     def close(self) -> None:
-        """Kill the scorer actor pool (frees their reserved CPUs)."""
+        """Kill the scorer actor pool (frees their reserved CPUs).
+        Retired pools are reaped only when nothing is in flight — a
+        concurrent search (auto-refresh thread, another caller mid
+        ray.get) still holds them; the last `_pool()` exit kills them."""
         self._teardown_groups()
         with self._pool_lock:
+            if self._inflight:
+                return  # _pool()'s finally block reaps _retired
             doomed, self._retired = self._retired, []
         self._kill_pools(doomed)
 

@@ -69,14 +69,17 @@ def read_ndjson_docs(paths, schema: Schema, *, id_col: str = "doc_id"):
             col = t[f.name]
             try:
                 if f.type == "u64":
-                    # negative values must fail the whole bulk (bulk.rs:174-189)
-                    as_i64 = col.cast(pa.int64())
-                    mins = pa.compute.min(as_i64).as_py()
+                    # negative values must fail the whole bulk
+                    # (bulk.rs:174-189) — check min on the ORIGINAL
+                    # column, then cast straight to uint64 so legitimate
+                    # values >= 2^63 (full tantivy u64 range) pass
+                    # instead of tripping an int64 detour
+                    mins = pa.compute.min(col).as_py()
                     if mins is not None and mins < 0:
                         raise QueryError.json(
                             f"invalid value: integer `{mins}`, expected u64"
                         )
-                    cols[f.name] = as_i64.cast(pa.uint64()).combine_chunks()
+                    cols[f.name] = col.cast(pa.uint64()).combine_chunks()
                 elif f.type == "i64":
                     cols[f.name] = col.cast(pa.int64()).combine_chunks()
                 elif f.type == "date":

@@ -32,6 +32,10 @@ _M31 = np.int64((1 << 31) - 1)  # Mersenne-31 — BIGINT-safe in the SQL twins
 _LOG = logging.getLogger("toshi_ray.dedup")
 
 DEFAULT_BUCKET_CAP = 512
+# minhash agreement estimation gathers candidate-doc signatures to the
+# driver when the candidate set is below this (512 B/doc → ~1 GB at the
+# cap); above it, the distributed reduce-side join path runs instead
+SIG_BROADCAST_CAP = 2_000_000
 
 
 def _pair_index(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -96,11 +100,14 @@ def _empty_pairs(metric: str | None, dtype=None) -> pd.DataFrame:
 N_PAIR_PARTS = 64  # coarse shuffle partitions for bucket-pair generation
 
 
-def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str | None, dtype=None):
+def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str | None,
+                        dtype=None, dedupe_stage: bool = True):
     """groupby a COARSE partition of the bucket hash (64 groups, not one
     Ray group per LSH bucket — per-group Python overhead would dominate
     at millions of buckets), run the per-bucket pair generator inside
-    with a vectorized pandas groupby, then dedupe pairs the same way."""
+    with a vectorized pandas groupby, then dedupe pairs the same way.
+    ``dedupe_stage=False`` skips the pair-dedupe shuffle for callers
+    that dedupe downstream (e.g. on the collected candidate list)."""
 
     def gen(g: pd.DataFrame) -> pd.DataFrame:
         outs = [pair_fn(sub) for _, sub in g.groupby(bucket_cols, sort=False)]
@@ -108,6 +115,8 @@ def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str |
         return pd.concat(outs, ignore_index=True) if outs else _empty_pairs(metric, dtype)
 
     pairs = exploded.groupby("part").map_groups(gen, batch_format="pandas")
+    if not dedupe_stage:
+        return pairs
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(_U)
@@ -491,14 +500,14 @@ def minhash_lsh_pairs(
 ):
     """→ Dataset of candidate near-dup pairs (id_a < id_b, est_jaccard).
 
-    Pipeline: minhash sigs (materialized ONCE — ~num_perm*8 B/doc, far
-    smaller than the text it summarizes) → explode (band, band_hash,
-    doc_id) → groupby(band, band_hash) → candidate id pairs within
-    bucket → hash-join the signature table back onto the surviving
-    pairs → estimate jaccard from signature agreement; filter by
-    threshold. The band shuffle carries ONLY (band, bh, part, id) —
-    never the full signature — so its payload is ~24 B/doc/band instead
-    of num_perm*8 B/doc/band. The final exact verify (token-shingle
+    Pipeline: one pass over the corpus computes minhash sigs in-batch
+    and emits ONLY (band, band_hash, part, doc_id) into the LSH shuffle
+    — ~24 B/doc/band instead of the full num_perm*8 B signature per
+    band row. Candidate pairs come out of the coarse bucket groupby;
+    the signature agreement estimate then RECOMPUTES signatures for
+    just the candidate docs (MinHasher is batch-invariant, candidates
+    are output-bounded) instead of materializing or re-shuffling the
+    full signature table. The final exact verify (token-shingle
     Jaccard) is `ngram_jaccard_verify_pairs`.
 
     ``perm_hash="sql"`` switches to the derandomized 31-bit permutation
@@ -506,14 +515,12 @@ def minhash_lsh_pairs(
     counts a DuckDB oracle recomputes exactly.
     """
     rows_per_band = num_perm // bands
-    sigs_ds = ds.map_batches(
-        MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash),
-        batch_format="pyarrow",
-    ).materialize()  # consumed 3× (explode + both join sides)
+    ds = ds.select_columns([id_col, col])  # projection pushes into the read
+    mh = MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        sigs = np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+        sigs = mh.signatures(t)
         band_view = sigs.reshape(n, bands, rows_per_band)
         if perm_hash == "sql":
             # 62-bit double polynomial over band values (< 2^31 each):
@@ -547,20 +554,82 @@ def minhash_lsh_pairs(
         ia, ib = _pair_index(len(g), bucket_cap)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    exploded = sigs_ds.map_batches(explode, batch_format="pyarrow")
-    cand = _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, None)
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    cand = _pairs_by_partition(
+        exploded, ["band", "bh"], bucket_pairs, None, dedupe_stage=False
+    )
+
+    # the candidate-pair id list is output-bounded (near-dup pairs, not
+    # the corpus) — collect it once: dedupe here (cheaper than a
+    # dedicated shuffle stage at this cardinality) and broadcast a doc
+    # filter so the signature attach touches only candidate docs' blobs
+    # (O(pairs)), never the whole signature table
+    import ray
+    import ray.data
+
+    pair_rows = cand.take_all()
+    if not pair_rows:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
+    raw_a = np.array([int(r["id_a"]) for r in pair_rows], dtype=np.int64)
+    raw_b = np.array([int(r["id_b"]) for r in pair_rows], dtype=np.int64)
+    # dedupe pairs generated by multiple agreeing bands (exact lexsort)
+    order = np.lexsort((raw_b, raw_a))
+    a_s, b_s = raw_a[order], raw_b[order]
+    first = np.ones(a_s.size, bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pairs_tbl = pa.table({"id_a": pa.array(a_s[first]), "id_b": pa.array(b_s[first])})
+    cand = ray.data.from_arrow(pairs_tbl)
+    wanted = np.unique(np.concatenate(
+        [pairs_tbl["id_a"].to_numpy(), pairs_tbl["id_b"].to_numpy()]
+    ))
+    ref = ray.put(wanted)
 
     def to_blob(t: pa.Table) -> pa.Table:
-        # one binary blob per doc (vectorized encode; byte equality ==
-        # value equality for the agreement test)
-        n = t.num_rows
-        sigs = np.ascontiguousarray(
-            np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm)
-        ).view(np.uint64)
-        return pa.table({"k": t[id_col].combine_chunks().cast(pa.int64()),
-                         "blob": _bin_array(sigs.reshape(n, -1))})
+        # one binary blob per CANDIDATE doc: recompute the signature for
+        # the (output-bounded) candidate subset only — batch-invariant,
+        # so it equals the signature the LSH pass derived (byte equality
+        # == value equality for the agreement test)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, ray.get(ref))
+        if not mask.any():
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "blob": pa.array([], pa.large_binary())})
+        sub = t.filter(pa.array(mask))
+        sigs = np.ascontiguousarray(mh.signatures(sub)).view(np.uint64)
+        return pa.table({"k": pa.array(ids[mask]), "blob": _bin_array(sigs)})
 
-    blob_ds = sigs_ds.map_batches(to_blob, batch_format="pyarrow")
+    blob_ds = ds.map_batches(to_blob, batch_format="pyarrow")
+
+    ids_a = pairs_tbl["id_a"].to_numpy()
+    ids_b = pairs_tbl["id_b"].to_numpy()
+
+    if wanted.size <= SIG_BROADCAST_CAP:
+        # common case: the filtered blob table is small (candidate docs
+        # × num_perm*8 B) — gather it once and estimate agreement with
+        # one vectorized pass; zero additional shuffles
+        rows = blob_ds.take_all()
+        ids = np.array([r["k"] for r in rows], dtype=np.int64)
+        mat = (
+            np.stack([np.frombuffer(r["blob"], np.uint64) for r in rows])
+            if rows else np.empty((0, num_perm), np.uint64)
+        )
+        order = np.argsort(ids)
+        ids_sorted, mat = ids[order], mat[order]
+        sa = mat[np.searchsorted(ids_sorted, ids_a)]
+        sb = mat[np.searchsorted(ids_sorted, ids_b)]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array(ids_a[keep]), "id_b": pa.array(ids_b[keep]),
+                      "est_jaccard": pa.array(est[keep])})
+        )
+
+    # scale fallback: too many candidate docs to gather — co-shuffle
+    # pairs with both blobs through the distributed reduce-side join
     with_a = _attach_blob(cand, blob_ds, "id_a", {"id_b": pa.int64()}, "sig_a")
     with_b = _attach_blob(
         with_a, blob_ds, "id_b",

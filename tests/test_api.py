@@ -74,6 +74,25 @@ def test_bulk_rollback_on_bad_u64(catalog):  # bulk.rs:174-189
     assert catalog.all_docs("test_index")["hits"] == 5  # nothing visible
 
 
+def test_bulk_u64_full_range(catalog):
+    """Legitimate u64 values >= 2^63 must ingest (tantivy u64 fields
+    cover the full 64-bit range); only negatives fail the bulk."""
+    import json as _json
+
+    big = (1 << 63) + 7
+    line = _json.dumps({"test_text": "big u64 doc", "test_i64": 1,
+                        "test_u64": big, "test_unindex": "x",
+                        "test_facet": "/cat/cat9"})
+    r = catalog.bulk_insert("test_index", line)
+    assert r["docs"] == 1
+    catalog.flush("test_index")
+    hits = catalog.search(
+        "test_index", {"query": {"term": {"test_text": "big"}}, "limit": 5}
+    )
+    assert hits["hits"] == 1
+    assert int(hits["docs"][0]["doc"]["test_u64"]) == big
+
+
 def test_add_doc_commit_then_visible(catalog):  # commit.rs:96-108
     catalog.add_document(
         "test_index",

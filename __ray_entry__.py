@@ -33,7 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY query — 33 of 33. ``dedup_minhash`` runs
+    """DuckDB twins for EVERY query — 34 of 34. ``dedup_minhash`` and
+    the composed ``minhash_verify`` run
     the derandomized `perm_hash="sql"` permutation scheme so DuckDB can
     recompute signatures, band buckets and agreement counts exactly
     (the production path keeps seeded random permutations)."""

@@ -120,19 +120,14 @@ ORDER BY doc_id
 """
 
 
-def minhash_sql(num_perm: int = 64, bands: int = 16, min_agree: int = 20) -> str:
-    """Recompute the derandomized minhash LSH pipeline entirely in SQL
-    (the `perm_hash="sql"` twin of `minhash_lsh_pairs`): per-token
-    31-bit polynomial hash → rolling 3-shingle Horner fold mod 2^31-1 →
-    per-permutation (a_p*s+b_p) mod 2^31-1 minima (a_p=2654435761*(p+1),
-    b_p=40503*(p+1), both mod 2^31-1) → group docs by exact band slices
-    → candidate pairs → per-pair signature agreement count. Every step
-    is BIGINT-safe (max product < 2^62). ``min_agree`` is the smallest
-    integer n with n/num_perm >= the engine threshold (0.3*64 → 20)."""
+def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
+    """WITH-chain of the derandomized minhash pipeline, ending at
+    `scored` (id_a, id_b, n_agree). Shared by the signature twin
+    (`minhash_sql`) and the composed LSH→verify twin
+    (`minhash_verify_sql`)."""
     rpb = num_perm // bands
     sentinel = 2147483647
-    return f"""
-WITH {TOKENS_CTE},
+    return f"""{TOKENS_CTE},
 th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
 sh AS (SELECT doc_id,
          list_transform(range(1, len(th) - 1),
@@ -160,10 +155,52 @@ scored AS (SELECT c.id_a, c.id_b,
                              i -> sa.sig[i] = sb.sig[i])) AS n_agree
            FROM cand c
            JOIN allsig sa ON sa.doc_id = c.id_a
-           JOIN allsig sb ON sb.doc_id = c.id_b)
+           JOIN allsig sb ON sb.doc_id = c.id_b)"""
+
+
+def minhash_sql(num_perm: int = 64, bands: int = 16, min_agree: int = 20) -> str:
+    """Recompute the derandomized minhash LSH pipeline entirely in SQL
+    (the `perm_hash="sql"` twin of `minhash_lsh_pairs`): per-token
+    31-bit polynomial hash → rolling 3-shingle Horner fold mod 2^31-1 →
+    per-permutation (a_p*s+b_p) mod 2^31-1 minima (a_p=2654435761*(p+1),
+    b_p=40503*(p+1), both mod 2^31-1) → group docs by exact band slices
+    → candidate pairs → per-pair signature agreement count. Every step
+    is BIGINT-safe (max product < 2^62). ``min_agree`` is the smallest
+    integer n with n/num_perm >= the engine threshold (0.3*64 → 20)."""
+    return f"""
+WITH {_minhash_ctes(num_perm, bands)}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(n_agree AS BIGINT) AS n_agree
 FROM scored WHERE n_agree >= {min_agree} ORDER BY id_a, id_b
+"""
+
+
+def minhash_verify_sql(num_perm: int = 64, bands: int = 16, min_agree: int = 20) -> str:
+    """The COMPOSED production near-dup pipeline twin: derandomized
+    minhash LSH candidates (agreement >= threshold) → exact token-
+    trigram Jaccard verify of exactly those pairs. Docs with < 3 tokens
+    have empty shingle sets (LEFT JOIN + coalesce) → jaccard 0, matching
+    the engine's empty-set contract. int/int division is bit-identical
+    on both engines → floor matches."""
+    return f"""
+WITH {_minhash_ctes(num_perm, bands)},
+keep AS (SELECT id_a, id_b FROM scored WHERE n_agree >= {min_agree}),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM toks WHERE len(tk) >= 3),
+j AS (SELECT k.id_a, k.id_b,
+        coalesce(len(list_intersect(a.sh, b.sh)), 0) AS inter,
+        coalesce(len(a.sh), 0) + coalesce(len(b.sh), 0)
+          - coalesce(len(list_intersect(a.sh, b.sh)), 0) AS uni
+      FROM keep k
+      LEFT JOIN g a ON a.doc_id = k.id_a
+      LEFT JOIN g b ON b.doc_id = k.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(CASE WHEN uni = 0 THEN 0
+                 ELSE floor(inter / CAST(uni AS DOUBLE) * 1000000.0)
+            END AS BIGINT) AS jaccard_x1e6
+FROM j ORDER BY id_a, id_b
 """
 
 
@@ -426,6 +463,31 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     df["n_agree"] = np.rint(df["est_jaccard"] * 64).astype("int64")
     return (
         df.drop(columns=["est_jaccard"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_minhash_verify(sf_dir: str) -> pd.DataFrame:
+    """The composed production near-dup pipeline: minhash LSH candidate
+    generation (derandomized SQL scheme) → distributed exact n-gram
+    Jaccard verify of exactly those candidate pairs. The DuckDB twin
+    recomputes BOTH stages value-for-value."""
+    from toshi_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_verify_pairs
+
+    cand = minhash_lsh_pairs(
+        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql"
+    ).take_all()
+    if not cand:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard_x1e6": pd.Series(dtype="int64")})
+    pairs = pd.DataFrame(cand)[["id_a", "id_b"]]
+    out = ngram_jaccard_verify_pairs(_docs_ds(sf_dir), pairs, n=3)
+    out["jaccard_x1e6"] = np.floor(out["jaccard"] * 1e6).astype("int64")
+    return (
+        out.drop(columns=["jaccard"])
         .astype({"id_a": "int64", "id_b": "int64"})
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
@@ -873,6 +935,7 @@ FROM documents GROUP BY text ORDER BY doc_id
 
     sql["simhash"] = simhash62_sql()
     sql["dedup_minhash"] = minhash_sql()
+    sql["minhash_verify"] = minhash_verify_sql()
     sql["fingerprint"] = fingerprint_sql()
 
     # all pairs within a source whose exact token-trigram jaccard clears
@@ -1055,6 +1118,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_drop": q_dedup_drop,
     "dedup_minhash": q_dedup_minhash,
+    "minhash_verify": q_minhash_verify,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_near_dup": q_embed_near_dup,

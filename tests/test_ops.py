@@ -675,3 +675,60 @@ def test_ngram_jaccard_verify_distributed_matches_local(ray_session):
         u = len(sets[a] | sets[b])
         want = len(sets[a] & sets[b]) / u if u else 0.0
         assert abs(r["jaccard"] - want) < 1e-12, (a, b)
+
+
+def test_attach_blob_preserves_big_ids(ray_session):
+    """Reduce-side join must carry hash-derived doc ids > 2^53 exactly
+    (a pandas float64 round-trip would corrupt them silently)."""
+    import ray.data
+
+    from toshi_ray.ops.dedup import _attach_blob
+
+    big_a = (1 << 60) + 3
+    big_b = (1 << 62) + 11
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([big_a], pa.int64()),
+        "id_b": pa.array([big_b], pa.int64()),
+    }))
+    blobs = ray.data.from_arrow(pa.table({
+        "k": pa.array([big_a, big_b], pa.int64()),
+        "blob": pa.array([b"A" * 16, b"B" * 16], pa.large_binary()),
+    }))
+    with_a = _attach_blob(pairs, blobs, "id_a", {"id_b": pa.int64()}, "sh_a")
+    with_b = _attach_blob(
+        with_a, blobs, "id_b",
+        {"id_a": pa.int64(), "sh_a": pa.large_binary()}, "sh_b",
+    )
+    rows = with_b.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert int(r["id_a"]) == big_a and int(r["id_b"]) == big_b
+    assert bytes(r["sh_a"]) == b"A" * 16 and bytes(r["sh_b"]) == b"B" * 16
+
+
+def test_minhash_distributed_fallback_matches_driver_path(ray_session, monkeypatch):
+    """The fully distributed estimate path (candidates too many to
+    gather) must produce exactly the driver-path pairs."""
+    import ray.data
+
+    import toshi_ray.ops.dedup as dd
+
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}" for i in range(50)]
+    base = " ".join(rng.choice(words, size=60))
+    texts = [base, base.replace("tok1", "tok2"),
+             " ".join(rng.choice(words, size=60)),
+             base + " extra tail words here"]
+    t = pa.table({"doc_id": pa.array(np.arange(4), pa.int64()), "text": texts})
+
+    def run():
+        got = dd.minhash_lsh_pairs(
+            ray.data.from_arrow(t), threshold=0.2, num_perm=32, bands=16
+        ).take_all()
+        return sorted((int(r["id_a"]), int(r["id_b"]),
+                       round(float(r["est_jaccard"]), 10)) for r in got)
+
+    want = run()
+    assert want, "corpus should produce at least one candidate pair"
+    monkeypatch.setattr(dd, "PAIR_DRIVER_CAP", 0)
+    assert run() == want

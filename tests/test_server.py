@@ -67,16 +67,25 @@ def test_full_http_flow(server, ray_session):
     assert status == 200 and res["hits"] == 2
     ids = sorted(d["doc"]["doc_id"] for d in res["docs"])
     assert ids == [0, 1]
-    # ?pretty returns an indented JSON string (reference QueryOptions)
-    status, pretty = _req("POST", f"{base}/httpidx?pretty=true",
-                          {"query": {"term": {"text": "hello"}}, "limit": 10})
-    assert isinstance(pretty, dict) or isinstance(pretty, str)
+    # ?pretty serves the INDENTED JSON rendering (reference
+    # QueryOptions); over the wire it parses to the same payload
+    r = urllib.request.Request(f"{base}/httpidx?pretty=true",
+                               data=json.dumps({"query": {"term": {"text": "hello"}},
+                                                "limit": 10}).encode(),
+                               method="POST")
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        raw = resp.read().decode()
+        assert resp.status == 200
+    assert raw.startswith("{\n")  # indented rendering, not compact JSON
+    assert json.loads(raw)["hits"] == 2
     # all docs (GET /{idx})
     status, res = _req("GET", f"{base}/httpidx")
     assert status == 200 and res["hits"] == 3
     # summary
     status, summ = _req("GET", f"{base}/httpidx/_summary?include_sizes=true")
-    assert status == 200 and "segments" in summ or isinstance(summ, dict)
+    assert status == 200
+    assert summ["summaries"]["num_docs"] == 3
+    assert all(v > 0 for v in summ["summaries"].get("segment_sizes", {1: 1}).values())
     # bulk (POST /{idx}/_bulk, NDJSON)
     nd = "\n".join(json.dumps({"doc_id": 10 + i, "text": f"bulk doc {i}"})
                    for i in range(3))

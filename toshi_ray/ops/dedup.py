@@ -32,10 +32,11 @@ _M31 = np.int64((1 << 31) - 1)  # Mersenne-31 — BIGINT-safe in the SQL twins
 _LOG = logging.getLogger("toshi_ray.dedup")
 
 DEFAULT_BUCKET_CAP = 512
-# minhash agreement estimation gathers candidate-doc signatures to the
-# driver when the candidate set is below this (512 B/doc → ~1 GB at the
-# cap); above it, the distributed reduce-side join path runs instead
-SIG_BROADCAST_CAP = 2_000_000
+# minhash raw candidate pairs are gathered to the driver for the
+# single-shuffle estimate path only below this count (~16 B/pair →
+# ~80 MB at the cap); above it the fully distributed dedupe + reduce-
+# side-join estimate runs instead and nothing touches the driver
+PAIR_DRIVER_CAP = 5_000_000
 
 
 def _pair_index(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -117,6 +118,12 @@ def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str |
     pairs = exploded.groupby("part").map_groups(gen, batch_format="pandas")
     if not dedupe_stage:
         return pairs
+    return _dedupe_pairs_stage(pairs, metric, dtype)
+
+
+def _dedupe_pairs_stage(pairs, metric: str | None, dtype=None):
+    """Distributed (id_a, id_b) pair dedupe: coarse pair-hash shuffle +
+    per-partition drop_duplicates."""
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(_U)
@@ -384,22 +391,38 @@ def _attach_blob(pairs, blobs, key: str, carry: dict, out_col: str):
         + [(out_col, pa.large_binary())]
     )
 
-    def join_group(g: pd.DataFrame) -> pa.Table:
-        pr = g[g["role"] == 1]
-        sig = g[g["role"] == 0]
-        if not len(pr) or not len(sig):
+    def join_group(t: pa.Table) -> pa.Table:
+        # pure Arrow/numpy — a pandas round-trip would promote the
+        # carried int64 columns (NULL on blob rows) to float64 and
+        # silently corrupt doc ids above 2^53 (hash-derived bulk ids)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        pr = t.filter(pa.array(role == 1))
+        sig = t.filter(pa.array(role == 0))
+        if pr.num_rows == 0 or sig.num_rows == 0:
             return out_schema.empty_table()
-        m = pr.drop(columns=[out_col]).merge(sig[["k", out_col]], on="k", how="inner")
-        cols = {key: pa.array(m["k"].to_numpy(), pa.int64())}
+        sk = sig["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sk, kind="stable")
+        sk_sorted = sk[order]
+        pk = pr["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk_sorted, pk)
+        pos_c = np.minimum(pos, sk_sorted.size - 1)
+        valid = sk_sorted[pos_c] == pk  # inner-join semantics
+        if not valid.any():
+            return out_schema.empty_table()
+        pr_v = pr.filter(pa.array(valid))
+        take_idx = pa.array(order[pos_c[valid]])
+        cols = {key: pr_v["k"].combine_chunks().cast(pa.int64())}
         for c in carry_names:
-            cols[c] = pa.array(m[c], carry[c])
-        cols[out_col] = pa.array(m[out_col], pa.large_binary())
+            cols[c] = pr_v[c].combine_chunks().cast(carry[c])
+        cols[out_col] = (
+            sig[out_col].combine_chunks().cast(pa.large_binary()).take(take_idx)
+        )
         return pa.table(cols)
 
     tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         blobs.map_batches(tag_blobs, batch_format="pyarrow")
     )
-    return tagged.groupby("part").map_groups(join_group, batch_format="pandas")
+    return tagged.groupby("part").map_groups(join_group, batch_format="pyarrow")
 
 
 _PERM_A31 = 2654435761  # Knuth multiplier — derandomized perm coefficients
@@ -557,84 +580,10 @@ def minhash_lsh_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     cand = _pairs_by_partition(
         exploded, ["band", "bh"], bucket_pairs, None, dedupe_stage=False
-    )
+    ).materialize()
 
-    # the candidate-pair id list is output-bounded (near-dup pairs, not
-    # the corpus) — collect it once: dedupe here (cheaper than a
-    # dedicated shuffle stage at this cardinality) and broadcast a doc
-    # filter so the signature attach touches only candidate docs' blobs
-    # (O(pairs)), never the whole signature table
     import ray
     import ray.data
-
-    pair_rows = cand.take_all()
-    if not pair_rows:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "est_jaccard": pa.array([], pa.float64())})
-        )
-    raw_a = np.array([int(r["id_a"]) for r in pair_rows], dtype=np.int64)
-    raw_b = np.array([int(r["id_b"]) for r in pair_rows], dtype=np.int64)
-    # dedupe pairs generated by multiple agreeing bands (exact lexsort)
-    order = np.lexsort((raw_b, raw_a))
-    a_s, b_s = raw_a[order], raw_b[order]
-    first = np.ones(a_s.size, bool)
-    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
-    pairs_tbl = pa.table({"id_a": pa.array(a_s[first]), "id_b": pa.array(b_s[first])})
-    cand = ray.data.from_arrow(pairs_tbl)
-    wanted = np.unique(np.concatenate(
-        [pairs_tbl["id_a"].to_numpy(), pairs_tbl["id_b"].to_numpy()]
-    ))
-    ref = ray.put(wanted)
-
-    def to_blob(t: pa.Table) -> pa.Table:
-        # one binary blob per CANDIDATE doc: recompute the signature for
-        # the (output-bounded) candidate subset only — batch-invariant,
-        # so it equals the signature the LSH pass derived (byte equality
-        # == value equality for the agreement test)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids, ray.get(ref))
-        if not mask.any():
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "blob": pa.array([], pa.large_binary())})
-        sub = t.filter(pa.array(mask))
-        sigs = np.ascontiguousarray(mh.signatures(sub)).view(np.uint64)
-        return pa.table({"k": pa.array(ids[mask]), "blob": _bin_array(sigs)})
-
-    blob_ds = ds.map_batches(to_blob, batch_format="pyarrow")
-
-    ids_a = pairs_tbl["id_a"].to_numpy()
-    ids_b = pairs_tbl["id_b"].to_numpy()
-
-    if wanted.size <= SIG_BROADCAST_CAP:
-        # common case: the filtered blob table is small (candidate docs
-        # × num_perm*8 B) — gather it once and estimate agreement with
-        # one vectorized pass; zero additional shuffles
-        rows = blob_ds.take_all()
-        ids = np.array([r["k"] for r in rows], dtype=np.int64)
-        mat = (
-            np.stack([np.frombuffer(r["blob"], np.uint64) for r in rows])
-            if rows else np.empty((0, num_perm), np.uint64)
-        )
-        order = np.argsort(ids)
-        ids_sorted, mat = ids[order], mat[order]
-        sa = mat[np.searchsorted(ids_sorted, ids_a)]
-        sb = mat[np.searchsorted(ids_sorted, ids_b)]
-        est = (sa == sb).mean(axis=1)
-        keep = est >= threshold
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array(ids_a[keep]), "id_b": pa.array(ids_b[keep]),
-                      "est_jaccard": pa.array(est[keep])})
-        )
-
-    # scale fallback: too many candidate docs to gather — co-shuffle
-    # pairs with both blobs through the distributed reduce-side join
-    with_a = _attach_blob(cand, blob_ds, "id_a", {"id_b": pa.int64()}, "sig_a")
-    with_b = _attach_blob(
-        with_a, blob_ds, "id_b",
-        {"id_a": pa.int64(), "sig_a": pa.large_binary()}, "sig_b",
-    )
 
     def estimate(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -655,7 +604,89 @@ def minhash_lsh_pairs(
             }
         )
 
-    return with_b.map_batches(estimate, batch_format="pyarrow")
+    n_cand = cand.count()
+    if n_cand > PAIR_DRIVER_CAP:
+        # fully distributed path: the raw candidate list (pre-threshold,
+        # bounded only by bucket structure) is too large to gather —
+        # dedupe pairs with the coarse pair-hash shuffle, ship every
+        # doc's signature blob once through the reduce-side join, and
+        # estimate per partition. Nothing touches the driver.
+        _LOG.warning(
+            "minhash: %d raw candidate pairs exceed PAIR_DRIVER_CAP=%d; "
+            "using the fully distributed estimate path", n_cand, PAIR_DRIVER_CAP,
+        )
+        cand_d = _dedupe_pairs_stage(cand, None)
+
+        def to_blob_all(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
+            return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
+
+        blob_all = ds.map_batches(to_blob_all, batch_format="pyarrow").materialize()
+        with_a = _attach_blob(cand_d, blob_all, "id_a", {"id_b": pa.int64()}, "sig_a")
+        with_b = _attach_blob(
+            with_a, blob_all, "id_b",
+            {"id_a": pa.int64(), "sig_a": pa.large_binary()}, "sig_b",
+        )
+        return with_b.map_batches(estimate, batch_format="pyarrow")
+
+    # common case: candidates fit on the driver — dedupe with one
+    # lexsort, broadcast the candidate-doc id set, recompute signatures
+    # for just those docs (batch-invariant, so identical to the LSH
+    # pass), and estimate agreement in one vectorized pass. One shuffle
+    # total.
+    pair_rows = cand.take_all()
+    if not pair_rows:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
+    raw_a = np.array([int(r["id_a"]) for r in pair_rows], dtype=np.int64)
+    raw_b = np.array([int(r["id_b"]) for r in pair_rows], dtype=np.int64)
+    # dedupe pairs generated by multiple agreeing bands (exact lexsort)
+    order = np.lexsort((raw_b, raw_a))
+    a_s, b_s = raw_a[order], raw_b[order]
+    first = np.ones(a_s.size, bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pairs_tbl = pa.table({"id_a": pa.array(a_s[first]), "id_b": pa.array(b_s[first])})
+    wanted = np.unique(np.concatenate(
+        [pairs_tbl["id_a"].to_numpy(), pairs_tbl["id_b"].to_numpy()]
+    ))
+    ref = ray.put(wanted)
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        # one binary blob per CANDIDATE doc: recompute the signature for
+        # the (driver-bounded) candidate subset only — batch-invariant,
+        # so it equals the signature the LSH pass derived (byte equality
+        # == value equality for the agreement test)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, ray.get(ref))
+        if not mask.any():
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "blob": pa.array([], pa.large_binary())})
+        sub = t.filter(pa.array(mask))
+        sigs = np.ascontiguousarray(mh.signatures(sub)).view(np.uint64)
+        return pa.table({"k": pa.array(ids[mask]), "blob": _bin_array(sigs)})
+
+    ids_a = pairs_tbl["id_a"].to_numpy()
+    ids_b = pairs_tbl["id_b"].to_numpy()
+    rows = ds.map_batches(to_blob, batch_format="pyarrow").take_all()
+    ids = np.array([r["k"] for r in rows], dtype=np.int64)
+    mat = (
+        np.stack([np.frombuffer(r["blob"], np.uint64) for r in rows])
+        if rows else np.empty((0, num_perm), np.uint64)
+    )
+    order = np.argsort(ids)
+    ids_sorted, mat = ids[order], mat[order]
+    sa = mat[np.searchsorted(ids_sorted, ids_a)]
+    sb = mat[np.searchsorted(ids_sorted, ids_b)]
+    est = (sa == sb).mean(axis=1)
+    keep = est >= threshold
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ids_a[keep]), "id_b": pa.array(ids_b[keep]),
+                  "est_jaccard": pa.array(est[keep])})
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -739,7 +770,7 @@ MAX_SHINGLE_RUN = 256  # docs sharing one shingle before it's skipped
 
 def _jaccard_pairs_in_group(
     texts: list, ids: np.ndarray, n: int, threshold: float,
-    max_run: int = MAX_SHINGLE_RUN,
+    max_run: int | None = MAX_SHINGLE_RUN,
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard for all pairs of one bucket, vectorized:
     per-doc sorted-unique shingle-hash sets, then an inverted pass over
@@ -773,7 +804,7 @@ def _jaccard_pairs_in_group(
         L = e - s
         if L < 2:
             continue
-        if L > max_run:
+        if max_run is not None and L > max_run:
             n_skipped += 1
             continue
         docs = np.sort(ds_[s:e])
@@ -805,7 +836,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.2,
-    max_run: int = MAX_SHINGLE_RUN,
+    max_run: int | None = MAX_SHINGLE_RUN,
 ):
     """Exact token-n-gram Jaccard for every pair within a bucket
     (e.g. bucket = source or an LSH bucket). Buckets shuffle via 64

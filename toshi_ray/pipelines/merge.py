@@ -628,6 +628,7 @@ def merge_segments(
     # doc_id column alone would be ~8 GB of driver RAM
     n_docs = 0
     id_min, id_max = None, None
+    stats_missing = False
     dv_dir = os.path.join(tmp, "docvalues")
     for fn in os.listdir(dv_dir):
         if not fn.endswith(".parquet"):
@@ -636,11 +637,21 @@ def merge_segments(
         n_docs += md.num_rows
         col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
         for rg in range(md.num_row_groups):
+            if not md.row_group(rg).num_rows:
+                continue
             st = md.row_group(rg).column(col_idx).statistics
-            if st is None or st.min is None or not md.row_group(rg).num_rows:
+            if st is None or st.min is None:
+                stats_missing = True
                 continue
             id_min = st.min if id_min is None else min(id_min, st.min)
             id_max = st.max if id_max is None else max(id_max, st.max)
+    if n_docs and (stats_missing or id_min is None):
+        # a writer without column statistics must not silently produce
+        # min/max = 0 — doc-id allocation (_append_docs) and merge
+        # ordering key off these; fall back to reading the column
+        dv = pq.read_table(dv_dir, columns=["doc_id"])
+        ids = dv["doc_id"].to_numpy(zero_copy_only=False)
+        id_min, id_max = int(ids.min()), int(ids.max())
     field_stats: dict[str, dict] = {}
     for s in sources:
         for f, st in s.get("field_stats", {}).items():
@@ -735,7 +746,10 @@ def gc_segments(index_root: str, *, checkpoint_grace_s: float = 3600.0) -> int:
                 if not resumable:
                     shutil.rmtree(d, ignore_errors=True)
                 continue
-            # legacy checkpoint without source metadata: age heuristic
+            # legacy checkpoint without source metadata: age heuristic,
+            # floored at 10 minutes — a merge that JUST created its dir
+            # (window between makedirs and the sources.json rename) must
+            # not be reaped by an aggressive checkpoint_grace_s=0 sweep
             try:
                 newest = max(
                     (os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)),
@@ -743,7 +757,7 @@ def gc_segments(index_root: str, *, checkpoint_grace_s: float = 3600.0) -> int:
                 )
             except OSError:
                 continue
-            if now - newest > checkpoint_grace_s:
+            if now - newest > max(checkpoint_grace_s, 600.0):
                 shutil.rmtree(d, ignore_errors=True)
     manifest["garbage"] = []
     publish_manifest(index_root, manifest["segments"], extra={"garbage": []})

@@ -452,8 +452,12 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     so the integer agreement count is returned (driver float rule)."""
     from toshi_ray.ops.dedup import minhash_lsh_pairs
 
+    # bucket_cap uncapped: the SQL twin enumerates ALL bucket pairs, so
+    # the engine's star-cap for oversized buckets (a production guard,
+    # pinned by pytest) must not fire in the oracle comparison
     rows = minhash_lsh_pairs(
-        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql"
+        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql",
+        bucket_cap=1 << 40,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -477,7 +481,8 @@ def q_minhash_verify(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_verify_pairs
 
     cand = minhash_lsh_pairs(
-        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql"
+        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql",
+        bucket_cap=1 << 40,  # SQL twin enumerates all bucket pairs
     ).take_all()
     if not cand:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -510,7 +515,12 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.dedup import ngram_jaccard_pairs
 
-    rows = ngram_jaccard_pairs(_docs_ds(sf_dir), "source", threshold=0.05).take_all()
+    # max_run=None: the DuckDB twin computes EXACT all-pairs jaccard, so
+    # the engine must run uncapped here (the production hot-shingle cap
+    # is pinned by pytest separately)
+    rows = ngram_jaccard_pairs(
+        _docs_ds(sf_dir), "source", threshold=0.05, max_run=None
+    ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),

@@ -572,11 +572,13 @@ class SegmentGroupScorer:
             ck = (reader.dir, node.field, node)
             matched = self._expand_cache.get(ck)
             if matched is None:
-                # the dict stays Arrow end-to-end: terms are unique per
-                # (segment, field) on disk, so no sorted(set(to_pylist()))
-                # — only the matching terms ever become Python strings
+                # the dict stays Arrow end-to-end — only the matching
+                # terms ever become Python strings. pc.unique collapses
+                # hot-term SHARDS (merge splits high-df terms into one
+                # postings row per doc range) so no term's postings are
+                # fetched/decoded once per shard
                 dict_tbl = reader.term_dict(node.field)
-                terms_arr = dict_tbl["term"].combine_chunks()
+                terms_arr = pc.unique(dict_tbl["term"].combine_chunks())
                 if isinstance(node, FuzzyQuery):
                     matched = _levenshtein_filter_arrow(
                         terms_arr, node.value, node.distance, node.transposition

@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY query — 34 of 34. ``dedup_minhash`` and
+    """DuckDB twins for EVERY query — 35 of 35. ``dedup_minhash`` and
     the composed ``minhash_verify`` run
     the derandomized `perm_hash="sql"` permutation scheme so DuckDB can
     recompute signatures, band buckets and agreement counts exactly

@@ -732,3 +732,56 @@ def test_minhash_distributed_fallback_matches_driver_path(ray_session, monkeypat
     assert want, "corpus should produce at least one candidate pair"
     monkeypatch.setattr(dd, "PAIR_DRIVER_CAP", 0)
     assert run() == want
+
+
+def test_lsh_topk_prunes_and_reranks_exactly(ray_session):
+    """Sign-LSH ANN must (a) score strictly fewer vectors than the
+    corpus (candidate pruning), (b) equal brute force restricted to the
+    candidate rule (Hamming(code) <= h), and (c) reach full recall when
+    probing every bucket (h = n_planes)."""
+    import ray.data
+
+    from toshi_ray.ops.similarity import (
+        brute_force_topk,
+        lsh_bucket_codes,
+        lsh_topk,
+        _normalize,
+    )
+
+    rng = np.random.default_rng(9)
+    d, n = 16, 400
+    centers = rng.standard_normal((4, d)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((n // 4, d)) * 0.3
+                           for c in centers])
+    ids = np.arange(n)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), d),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    q, qids = vecs[:3], ids[:3]
+
+    out, stats = lsh_topk(ds, q, k=5, n_planes=8, probe_hamming=1,
+                          query_ids=qids, planes="axis", return_stats=True)
+    assert stats["candidates"] < stats["total"]  # pruning is real
+
+    # exactness on the candidate set: recompute the rule in numpy
+    vn = _normalize(vecs)
+    qn = _normalize(q)
+    vcodes = lsh_bucket_codes(vn, 8, "axis")
+    qcodes = lsh_bucket_codes(qn, 8, "axis")
+    pop = np.array([bin(i).count("1") for i in range(256)])
+    sims = qn @ vn.T
+    for qi in range(3):
+        cand = pop[(vcodes ^ qcodes[qi]).astype(np.int64)] <= 1
+        order = np.lexsort((ids[cand], -sims[qi][cand]))[:5]
+        want = ids[cand][order].tolist()
+        got = out[out.query_id == qids[qi]]["vec_id"].tolist()
+        assert got == want, qi
+
+    # probing every bucket == brute force (full recall)
+    full = lsh_topk(ds, q, k=5, n_planes=8, probe_hamming=8,
+                    query_ids=qids, planes="axis")
+    bf = brute_force_topk(ds, q, k=5, query_ids=qids)
+    assert full["vec_id"].tolist() == bf["vec_id"].tolist()

@@ -381,3 +381,109 @@ def ivf_topk(
         return pd.DataFrame({"query_id": [], id_col: [], "score": []})
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
     return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed ANN — the shuffle-free scale path alongside IVF
+# ---------------------------------------------------------------------------
+
+def lsh_bucket_codes(v: np.ndarray, n_planes: int, planes: str = "axis",
+                     seed: int = 11) -> np.ndarray:
+    """Sign-LSH bucket code per (already-normalized or raw) vector:
+    bit j = <v, plane_j> > 0 → uint64 in [0, 2^n_planes).
+
+    ``planes="axis"``: plane_j is the j-th coordinate axis — bit j =
+    v[j] > 0, fully deterministic AND recomputable in ANSI SQL
+    (normalization never flips a sign). ``planes="random"``: seeded
+    Gaussian hyperplanes (production default for isotropic codes)."""
+    if planes == "axis":
+        bits = (v[:, :n_planes] > 0).astype(np.uint64)
+    else:
+        rng = np.random.default_rng(seed)
+        p = rng.standard_normal((v.shape[1], n_planes))
+        bits = (v @ p > 0).astype(np.uint64)
+    return bits @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+
+def lsh_topk(
+    ds,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+    planes: str = "axis",
+    seed: int = 11,
+    return_stats: bool = False,
+):
+    """ANN via sign-LSH buckets: each query scores ONLY corpus vectors
+    whose bucket code is within `probe_hamming` bits of its own —
+    candidate fraction ≈ Σ_{i<=h} C(n_planes,i) / 2^n_planes of the
+    corpus (n_planes=8, h=1 → 3.5%) — then exact cosine rerank.
+
+    Same map-only shape as `brute_force_topk` (query matrix + codes
+    broadcast once, one masked matmul per batch, local top-k rows out);
+    unlike IVF it needs no trained codebook and no repartitioned index,
+    so it composes with any live Dataset. Approximation contract: a
+    true neighbor whose code differs in > probe_hamming bits is missed
+    (recall is pinned by test against brute force on clustered data).
+
+    ``return_stats=True`` → (df, {"candidates": int, "total": int}).
+    """
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(q.shape[0])
+    qb = lsh_bucket_codes(q, n_planes, planes, seed)
+    pop = np.array([bin(i).count("1") for i in range(1 << n_planes)], dtype=np.int64)
+    q_ref = ray.put((q, qb))
+
+    def score(t: pa.Table) -> pa.Table:
+        qm, qcodes = ray.get(q_ref)
+        v = _normalize(_as_matrix(t[vec_col]))
+        if v.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "n_cand": pa.array([], pa.int64())})
+        codes = lsh_bucket_codes(v, n_planes, planes, seed)
+        ham = pop[(qcodes[:, None] ^ codes[None, :]).astype(np.int64)]
+        mask = ham <= probe_hamming
+        sims = qm @ v.T
+        sims[~mask] = -np.inf  # non-candidates never rank
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(np.arange(qm.shape[0]), kk)
+        cand = part.reshape(-1)
+        sc = sims[rows_q, cand]
+        keep = np.isfinite(sc)  # drop masked fillers from sparse buckets
+        return pa.table(
+            {
+                "query_id": pa.array(qids[rows_q][keep]),
+                id_col: pa.array(ids[cand][keep]),
+                "score": pa.array(sc[keep]),
+                "n_cand": pa.array(
+                    np.full(int(keep.sum()), int(mask.sum()), np.int64)
+                ),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    if not len(df):
+        df = pd.DataFrame({"query_id": [], id_col: [], "score": [], "n_cand": []})
+    stats = None
+    if return_stats:
+        # n_cand is per-batch constant; summing distinct batch values via
+        # groupby would need batch ids — conservative: max per query row
+        total = ds.count()
+        stats = {"candidates": int(df["n_cand"].max()) if len(df) else 0,
+                 "total": int(total)}
+    df = df.drop(columns=["n_cand"])
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    return (out, stats) if return_stats else out

@@ -620,6 +620,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return _quantized_ann_frame(df)
 
 
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """Sign-LSH bucketed ANN with axis planes (bit j = v[j] > 0): the
+    candidate rule (Hamming(query code, vector code) <= 1 over 8
+    planes) and the cosine rerank are both recomputed exactly by the
+    DuckDB twin — results match value-for-value INCLUDING which true
+    neighbors the approximation misses."""
+    from toshi_ray.ops.similarity import lsh_topk
+
+    emb = _emb_ds(sf_dir)
+    head = emb.limit(5).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    qids = np.array([r["vec_id"] for r in head])
+    df = lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=1,
+                  query_ids=qids, planes="axis")
+    return _quantized_ann_frame(df)
+
+
 def q_text_normalize(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.cleaning import normalize_text
 
@@ -1015,6 +1032,35 @@ QUALIFY row_number() OVER (
 ORDER BY query_id, score_x1e3 DESC, vec_id
 """
 
+    # sign-LSH bucketed ANN: axis-plane code (bit j = v[j] > 0), probe
+    # all buckets within Hamming distance 1, exact cosine rerank —
+    # candidate rule and rerank both recomputed here exactly
+    _lsh_code = " + ".join(
+        f"CASE WHEN {{v}}.embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(8)
+    )
+    sql["ann_lsh"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding,
+                  {_lsh_code.format(v='embeddings')} AS qb
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+v AS (SELECT vec_id, embedding,
+             {_lsh_code.format(v='embeddings')} AS vb
+      FROM embeddings),
+cand AS (
+  SELECT q.query_id, q.embedding AS qe, v.vec_id, v.embedding AS ve
+  FROM q, v
+  WHERE bit_count(CAST(xor(q.qb, v.vb) AS BIGINT)) <= 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(list_cosine_similarity(qe, ve) * 1000.0 + 0.5) AS BIGINT) AS score_x1e3
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_cosine_similarity(qe, ve) DESC, vec_id
+) <= 10
+ORDER BY query_id, score_x1e3 DESC, vec_id
+"""
+
     sql["token_stats"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1134,6 +1180,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "text_normalize": q_text_normalize,
     "pii_redact": q_pii_redact,
     "decontam": q_decontam,

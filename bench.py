@@ -167,6 +167,12 @@ def bench_ops() -> dict[str, float]:
     brute_force_topk(emb, q, k=10)
     out["ann_bruteforce"] = round(time.perf_counter() - t0, 3)
 
+    from toshi_ray.ops.similarity import lsh_topk
+
+    t0 = time.perf_counter()
+    lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=1)
+    out["ann_lsh"] = round(time.perf_counter() - t0, 3)
+
     from toshi_ray.ops.dedup import embedding_near_dup_pairs
     from toshi_ray.ops.textstats import lang_id, quality_score, token_stats
     from toshi_ray.ops.windows import tumbling_window_agg

@@ -387,6 +387,9 @@ def ivf_topk(
 # Sign-LSH bucketed ANN — the shuffle-free scale path alongside IVF
 # ---------------------------------------------------------------------------
 
+_STATS_SENTINEL = -(1 << 62)  # per-batch stats row marker (never a real id)
+
+
 def lsh_bucket_codes(v: np.ndarray, n_planes: int, planes: str = "axis",
                      seed: int = 11) -> np.ndarray:
     """Sign-LSH bucket code per (already-normalized or raw) vector:
@@ -447,8 +450,7 @@ def lsh_topk(
         if v.shape[0] == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64()),
-                             "n_cand": pa.array([], pa.int64())})
+                             "score": pa.array([], pa.float64())})
         codes = lsh_bucket_codes(v, n_planes, planes, seed)
         ham = pop[(qcodes[:, None] ^ codes[None, :]).astype(np.int64)]
         mask = ham <= probe_hamming
@@ -461,13 +463,18 @@ def lsh_topk(
         cand = part.reshape(-1)
         sc = sims[rows_q, cand]
         keep = np.isfinite(sc)  # drop masked fillers from sparse buckets
+        # one sentinel row per batch carries the batch's (query, vector)
+        # candidate count so the driver can SUM the true scan volume
         return pa.table(
             {
-                "query_id": pa.array(qids[rows_q][keep]),
-                id_col: pa.array(ids[cand][keep]),
-                "score": pa.array(sc[keep]),
-                "n_cand": pa.array(
-                    np.full(int(keep.sum()), int(mask.sum()), np.int64)
+                "query_id": pa.array(
+                    np.concatenate([qids[rows_q][keep], [_STATS_SENTINEL]])
+                ),
+                id_col: pa.array(
+                    np.concatenate([ids[cand][keep], [_STATS_SENTINEL]])
+                ),
+                "score": pa.array(
+                    np.concatenate([sc[keep], [float(mask.sum())]])
                 ),
             }
         )
@@ -475,15 +482,14 @@ def lsh_topk(
     parts = ds.map_batches(score, batch_format="pyarrow").take_all()
     df = pd.DataFrame(parts)
     if not len(df):
-        df = pd.DataFrame({"query_id": [], id_col: [], "score": [], "n_cand": []})
+        df = pd.DataFrame({"query_id": [], id_col: [], "score": []})
+    sent = df["query_id"] == _STATS_SENTINEL if len(df) else pd.Series(dtype=bool)
     stats = None
     if return_stats:
-        # n_cand is per-batch constant; summing distinct batch values via
-        # groupby would need batch ids — conservative: max per query row
-        total = ds.count()
-        stats = {"candidates": int(df["n_cand"].max()) if len(df) else 0,
-                 "total": int(total)}
-    df = df.drop(columns=["n_cand"])
+        stats = {"candidates": int(df.loc[sent, "score"].sum()) if len(df) else 0,
+                 "total": int(ds.count())}
+    if len(df):
+        df = df[~sent]
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
     out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     return (out, stats) if return_stats else out

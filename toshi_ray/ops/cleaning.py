@@ -25,6 +25,7 @@ LONG_NUM_RE = r"[0-9]{9,}"
 def normalize_text(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, text_norm, chars_before, chars_after): NFC-normalize,
     collapse whitespace runs to single spaces, trim."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def norm(t: pa.Table) -> pa.Table:
         s = pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
@@ -49,6 +50,7 @@ def normalize_text(ds, col: str = "text", id_col: str = "doc_id"):
 def redact_pii(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, text_redacted, n_emails, n_long_numbers): replace
     email addresses and ≥9-digit runs with sentinel tokens."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def redact(t: pa.Table) -> pa.Table:
         s = pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
@@ -76,6 +78,7 @@ def decontaminate(ds, ref_texts: list[str], *, n: int = 8,
     ``n_hit_ngrams`` counts the doc's DISTINCT n-grams present in the
     reference set. The reference n-gram hash set broadcasts once
     (`ray.put`); each batch is one vectorized membership test."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
     import ray
 
     from toshi_ray.ops.dedup import _unique_shingle_sets

@@ -185,6 +185,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     collapsed; a 64-bit collision across distinct texts is accepted at
     these scales and would only over-merge one pair).
     """
+    ds = ds.select_columns([id_col, col])  # prune at the read
     from ray.data.aggregate import Min, Sum
 
     def sig(t: pa.Table) -> pa.Table:
@@ -702,6 +703,7 @@ def simhash_signatures(ds, col: str = "text", id_col: str = "doc_id",
     polynomial hash (`token_hash62`) whose every step is expressible in
     ANSI SQL, so the DuckDB oracle can recompute the signature
     value-for-value (bits 62-63 are then always 0)."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def sig(t: pa.Table) -> pa.Table:
         an = DefaultAnalyzer()

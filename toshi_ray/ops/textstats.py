@@ -51,6 +51,7 @@ def _per_doc_distinct(tc, n_docs: int) -> np.ndarray:
 
 def token_stats(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, n_tokens, n_uniq, n_ws_tokens, text_chars)."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def stats(t: pa.Table) -> pa.Table:
         tc = _tokenize(t, col)
@@ -87,6 +88,7 @@ def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
     (length prior + stopword-density prior + repetition penalty) —
     rounded to 6 dp to stay float-comparable with the SQL oracle.
     """
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def score(t: pa.Table) -> pa.Table:
         tc = _tokenize(t, col)
@@ -119,6 +121,7 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, pred_lang): stopword-set voting, ties broken by
     LANG_ORDER then 'en' when nothing matches. N-gram-free heuristic
     language ID, SQL-mirrorable."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
 
     def pred(t: pa.Table) -> pa.Table:
         tc = _tokenize(t, col)
@@ -146,6 +149,7 @@ def fingerprint(ds, col: str = "text", id_col: str = "doc_id",
     ``token_hash="sql"``: mod 2^31−1 with `_poly_hash31` tokens — every
     step BIGINT-safe and recomputed value-for-value by the DuckDB
     oracle (list_reduce Horner). Same recurrence either way."""
+    ds = ds.select_columns([id_col, col])  # prune at the read
     from toshi_ray.ops.dedup import _M31, _hash_strings, _poly_hash31
 
     def fp(t: pa.Table) -> pa.Table:

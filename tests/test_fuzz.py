@@ -203,3 +203,54 @@ def test_executor_total_on_raw_queries(fuzz_searcher, s, limit):
     assert len(r["docs"]) == r["hits"]
     scores = [d["score"] for d in r["docs"]]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- derandomized minhash signatures ≡ the SQL recompute on ASCII text ---
+
+@given(st.lists(ascii_text, min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_minhash_sql_signatures_match_duckdb(texts):
+    """perm_hash="sql" signatures == DuckDB's polynomial recompute on
+    arbitrary ASCII corpora (token edges, short docs, empty strings) —
+    the invariant the dedup_minhash / minhash_verify oracles rest on."""
+    import pyarrow as pa
+
+    from toshi_ray.ops.dedup import MinHasher
+
+    num_perm = 8
+    mh = MinHasher("text", "doc_id", 3, num_perm, perm_hash="sql")
+    sigs = mh.signatures(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    h31 = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(range(1, length(t)+1), "
+           "i -> CAST(unicode(t[i:i]) AS BIGINT))), "
+           "(a, c) -> (a * 257 + c) % 2147483647)")
+    rows = con.execute(f"""
+WITH toks AS (SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    t -> length(t) > 0 AND strlen(t) < 40) AS tk FROM documents),
+th AS (SELECT doc_id, list_transform(tk, t -> {h31}) AS th FROM toks),
+sh AS (SELECT doc_id, list_transform(range(1, len(th) - 1),
+         i -> list_reduce(list_slice(th, i, i + 2),
+                          (a, b) -> (a * 1000003 + b) % 2147483647)) AS shs
+       FROM th),
+perm AS (SELECT p, (2654435761 * (p + 1)) % 2147483647 AS a,
+                (40503 * (p + 1)) % 2147483647 AS b
+         FROM (SELECT unnest(range({num_perm})) AS p)),
+flat AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+mins AS (SELECT doc_id, p, min((a * s + b) % 2147483647) AS mh
+         FROM flat, perm GROUP BY doc_id, p),
+sigl AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM mins GROUP BY doc_id)
+SELECT t.doc_id, coalesce(s.sig, list_transform(range({num_perm}),
+                 x -> CAST(2147483647 AS BIGINT)))
+FROM toks t LEFT JOIN sigl s USING (doc_id) ORDER BY t.doc_id
+""").fetchall()
+    want = [r[1] for r in rows]
+    assert [list(map(int, row)) for row in sigs] == want

@@ -104,6 +104,25 @@ def test_full_http_flow(server, ray_session):
     assert res["hits"] == 0
 
 
+def test_bulk_rollback_over_the_wire(server, ray_session):
+    """A bad row anywhere in an HTTP bulk must fail the WHOLE request
+    with the reference-format error and leave nothing visible."""
+    base = server.addr
+    _req("PUT", f"{base}/rollidx/_create", SCHEMA)
+    _req("PUT", f"{base}/rollidx", {"document": {"doc_id": 0, "text": "seed doc"}})
+    nd = "\n".join([
+        json.dumps({"doc_id": 1, "text": "fine"}),
+        json.dumps({"doc_id": -5, "text": "negative u64"}),
+    ])
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req("POST", f"{base}/rollidx/_bulk", nd)
+    assert e.value.code == 400
+    msg = json.loads(e.value.read())["message"]
+    assert "expected u64" in msg
+    status, res = _req("GET", f"{base}/rollidx")
+    assert res["hits"] == 1  # only the seed doc; nothing from the bulk
+
+
 def test_not_found_routes(server):
     for method, path in [("GET", "/favicon.ico"), ("PATCH", "/httpidx"),
                          ("GET", "/a/b/c")]:

@@ -764,7 +764,10 @@ def test_lsh_topk_prunes_and_reranks_exactly(ray_session):
 
     out, stats = lsh_topk(ds, q, k=5, n_planes=8, probe_hamming=1,
                           query_ids=qids, planes="axis", return_stats=True)
-    assert stats["candidates"] < stats["total"]  # pruning is real
+    # pruning is real: scored (query, vector) pairs ≪ the full n_q × N
+    # scan brute force would do
+    assert stats["candidate_pairs"] < stats["total_pairs"]
+    assert stats["total_vectors"] == n
 
     # exactness on the candidate set: recompute the rule in numpy
     vn = _normalize(vecs)

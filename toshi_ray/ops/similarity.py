@@ -72,11 +72,10 @@ def brute_force_topk(
             v = _normalize(v)
         sims = qm @ v.T  # (n_q, n_batch)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[1])
-        # local top-k per query (argpartition then exact sort)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q = np.repeat(np.arange(qm.shape[0]), kk)
-        cand = part.reshape(-1)
+        # local top-k per query with the deterministic (score desc,
+        # id asc) tie-break — argpartition alone could locally drop the
+        # lower id of a bit-equal pair the oracle keeps
+        rows_q, cand = _local_topk_rows(sims, ids, k)
         return pa.table(
             {
                 "query_id": pa.array(qids[rows_q]),
@@ -387,7 +386,31 @@ def ivf_topk(
 # Sign-LSH bucketed ANN — the shuffle-free scale path alongside IVF
 # ---------------------------------------------------------------------------
 
-_STATS_SENTINEL = -(1 << 62)  # per-batch stats row marker (never a real id)
+# per-batch stats row markers (negative — never a real id; ids are
+# int64 throughout: the engine's hash-derived doc ids are 63-bit)
+_STATS_PAIRS = -(1 << 62)
+_STATS_VECS = -(1 << 62) + 1
+
+MAX_LSH_PLANES = 20  # popcount table is 2^n_planes entries
+
+
+def _local_topk_rows(sims: np.ndarray, ids: np.ndarray, k: int):
+    """Per-query local top-k with the DETERMINISTIC (score desc, id asc)
+    tie-break: argpartition alone splits bit-equal scores arbitrarily
+    (exact duplicate embeddings), which could drop the lower id locally
+    while the SQL oracle keeps it. → (rows_q, col_idx) flat selection."""
+    n_q, n = sims.shape
+    kk = min(k, n)
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows_out, cols_out = [], []
+    for qi in range(n_q):
+        thresh = sims[qi, part[qi]].min()
+        cand = np.nonzero(sims[qi] >= thresh)[0]  # ALL ties at the boundary
+        order = np.lexsort((ids[cand], -sims[qi, cand]))[:kk]
+        sel = cand[order]
+        rows_out.append(np.full(sel.size, qi, np.int64))
+        cols_out.append(sel)
+    return np.concatenate(rows_out), np.concatenate(cols_out)
 
 
 def lsh_bucket_codes(v: np.ndarray, n_planes: int, planes: str = "axis",
@@ -400,6 +423,11 @@ def lsh_bucket_codes(v: np.ndarray, n_planes: int, planes: str = "axis",
     (normalization never flips a sign). ``planes="random"``: seeded
     Gaussian hyperplanes (production default for isotropic codes)."""
     if planes == "axis":
+        if v.shape[1] < n_planes:
+            raise ValueError(
+                f"axis-plane LSH needs embedding dim >= n_planes "
+                f"(dim {v.shape[1]} < {n_planes}); use planes='random'"
+            )
         bits = (v[:, :n_planes] > 0).astype(np.uint64)
     else:
         rng = np.random.default_rng(seed)
@@ -434,12 +462,19 @@ def lsh_topk(
     true neighbor whose code differs in > probe_hamming bits is missed
     (recall is pinned by test against brute force on clustered data).
 
-    ``return_stats=True`` → (df, {"candidates": int, "total": int}).
+    ``return_stats=True`` → (df, {"candidate_pairs", "total_pairs",
+    "total_vectors"}): scored (query, vector) pairs vs the n_q × N a
+    brute-force scan would score, summed from per-batch sentinel rows —
+    no second dataset execution.
     """
     import ray
 
+    if n_planes > MAX_LSH_PLANES:
+        raise ValueError(f"n_planes {n_planes} > {MAX_LSH_PLANES} "
+                         "(popcount table is 2^n_planes entries)")
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    qids = np.asarray(query_ids) if query_ids is not None else np.arange(q.shape[0])
+    qids = (np.asarray(query_ids) if query_ids is not None
+            else np.arange(q.shape[0])).astype(np.int64)
     qb = lsh_bucket_codes(q, n_planes, planes, seed)
     pop = np.array([bin(i).count("1") for i in range(1 << n_planes)], dtype=np.int64)
     q_ref = ray.put((q, qb))
@@ -453,29 +488,34 @@ def lsh_topk(
                              "score": pa.array([], pa.float64())})
         codes = lsh_bucket_codes(v, n_planes, planes, seed)
         ham = pop[(qcodes[:, None] ^ codes[None, :]).astype(np.int64)]
-        mask = ham <= probe_hamming
-        sims = qm @ v.T
-        sims[~mask] = -np.inf  # non-candidates never rank
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q = np.repeat(np.arange(qm.shape[0]), kk)
-        cand = part.reshape(-1)
-        sc = sims[rows_q, cand]
+        mask = ham <= probe_hamming  # (n_q, n_batch)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sentinel rows carry (candidate pairs, batch vectors) so the
+        # driver sums true scan volume without re-executing the dataset
+        sent_q = np.array([_STATS_PAIRS, _STATS_VECS], np.int64)
+        sent_v = np.array([float(mask.sum()), float(v.shape[0])])
+        cols = mask.any(axis=0)
+        if not cols.any():
+            return pa.table({"query_id": pa.array(sent_q),
+                             id_col: pa.array(sent_q),
+                             "score": pa.array(sent_v)})
+        # the matmul touches ONLY candidate columns — this is the point
+        # of the bucket prune (brute force scores every pair)
+        vsub, ids_sub = v[cols], ids[cols]
+        sims = qm @ vsub.T
+        sims[~mask[:, cols]] = -np.inf  # non-candidates never rank
+        rows_q, sel = _local_topk_rows(sims, ids_sub, k)
+        sc = sims[rows_q, sel]
         keep = np.isfinite(sc)  # drop masked fillers from sparse buckets
-        # one sentinel row per batch carries the batch's (query, vector)
-        # candidate count so the driver can SUM the true scan volume
         return pa.table(
             {
                 "query_id": pa.array(
-                    np.concatenate([qids[rows_q][keep], [_STATS_SENTINEL]])
+                    np.concatenate([qids[rows_q][keep], sent_q])
                 ),
                 id_col: pa.array(
-                    np.concatenate([ids[cand][keep], [_STATS_SENTINEL]])
+                    np.concatenate([ids_sub[sel][keep], sent_q])
                 ),
-                "score": pa.array(
-                    np.concatenate([sc[keep], [float(mask.sum())]])
-                ),
+                "score": pa.array(np.concatenate([sc[keep], sent_v])),
             }
         )
 
@@ -483,11 +523,14 @@ def lsh_topk(
     df = pd.DataFrame(parts)
     if not len(df):
         df = pd.DataFrame({"query_id": [], id_col: [], "score": []})
-    sent = df["query_id"] == _STATS_SENTINEL if len(df) else pd.Series(dtype=bool)
+    sent = df["query_id"] <= _STATS_VECS if len(df) else pd.Series(dtype=bool)
     stats = None
     if return_stats:
-        stats = {"candidates": int(df.loc[sent, "score"].sum()) if len(df) else 0,
-                 "total": int(ds.count())}
+        pairs = df.loc[df["query_id"] == _STATS_PAIRS, "score"].sum() if len(df) else 0
+        vecs = df.loc[df["query_id"] == _STATS_VECS, "score"].sum() if len(df) else 0
+        stats = {"candidate_pairs": int(pairs),
+                 "total_pairs": int(vecs) * q.shape[0],
+                 "total_vectors": int(vecs)}
     if len(df):
         df = df[~sent]
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])

@@ -571,11 +571,19 @@ def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
 def q_ann_bruteforce(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.similarity import brute_force_topk
 
-    head = _emb_ds(sf_dir).limit(5).take_all()
-    q = np.stack([r["embedding"] for r in head])
-    qids = np.array([r["vec_id"] for r in head])
+    q, qids = _head_queries(sf_dir)
     df = brute_force_topk(_emb_ds(sf_dir), q, k=10, query_ids=qids)
     return _quantized_ann_frame(df)
+
+
+def _head_queries(sf_dir: str, n: int = 5):
+    """First-n-by-row-order query vectors + ids — shared by every ANN
+    query so the selection rule can never drift between them (the SQL
+    twins' `ORDER BY vec_id LIMIT n` matches because the embeddings
+    table is written sorted by vec_id)."""
+    head = _emb_ds(sf_dir).limit(n).take_all()
+    return (np.stack([r["embedding"] for r in head]),
+            np.array([r["vec_id"] for r in head]))
 
 
 def _quantized_ann_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -608,9 +616,7 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     )
 
     emb = _emb_ds(sf_dir)
-    head = emb.limit(5).take_all()
-    q = np.stack([r["embedding"] for r in head])
-    qids = np.array([r["vec_id"] for r in head])
+    q, qids = _head_queries(sf_dir)
     cent = train_ivf_centroids(emb, n_cells=8)
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(CACHE_ROOT, f"ivf-{key}")
@@ -628,11 +634,8 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     neighbors the approximation misses."""
     from toshi_ray.ops.similarity import lsh_topk
 
-    emb = _emb_ds(sf_dir)
-    head = emb.limit(5).take_all()
-    q = np.stack([r["embedding"] for r in head])
-    qids = np.array([r["vec_id"] for r in head])
-    df = lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=1,
+    q, qids = _head_queries(sf_dir)
+    df = lsh_topk(_emb_ds(sf_dir), q, k=10, n_planes=8, probe_hamming=1,
                   query_ids=qids, planes="axis")
     return _quantized_ann_frame(df)
 

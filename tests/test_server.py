@@ -138,3 +138,32 @@ def test_search_error_shape(server, ray_session):
     assert e.value.code == 400
     msg = json.loads(e.value.read())["message"]
     assert msg.startswith("Error in query execution:")
+
+
+def test_client_roundtrip(server, ray_session):
+    """ToshiClient drives the live router end-to-end (the reference's
+    client+router test, lib.rs:16-33, with the full CRUD flow)."""
+    from toshi_ray.client import ToshiClient, ToshiClientError
+
+    c = ToshiClient(server.addr)
+    assert c.index()["name"] == "toshi-ray"
+    c.create_index("cliidx", SCHEMA)
+    assert "cliidx" in c.list()
+    c.add_document("cliidx", {"doc_id": 1, "text": "hello client world"})
+    c.add_document("cliidx", {"doc_id": 2, "text": "another document"},
+                   options={"commit": True})
+    r = c.search("cliidx", {"query": {"term": {"text": "hello"}}, "limit": 5})
+    # doc ids are INTERNAL insertion-order (T4, tantivy semantics) —
+    # the first added doc is 0 regardless of any user-supplied value
+    assert r["hits"] == 1 and r["docs"][0]["doc"]["doc_id"] == 0
+    assert "hello" in r["docs"][0]["doc"]["text"]
+    assert c.all_docs("cliidx")["hits"] == 2
+    c.bulk_insert("cliidx", json.dumps({"doc_id": 3, "text": "bulk doc"}))
+    c.flush("cliidx")
+    assert c.all_docs("cliidx")["hits"] == 3
+    assert c.index_summary("cliidx", include_sizes=True)["summaries"]["num_docs"] == 3
+    assert c.delete_term("cliidx", {"text": "bulk"})["docs_affected"] == 1
+    with pytest.raises(ToshiClientError) as e:
+        c.create_index("cliidx", SCHEMA)
+    assert e.value.status == 400
+    assert e.value.message == "Error in Index: 'Index cliidx already exists'"

@@ -729,3 +729,71 @@ def test_merge_checkpoints_invalidate_on_rebuild(ray_session, tmp_path):
     s = Searcher(root, distributed=False)
     assert s.count({"query": {"term": {"text": "alpha"}}}) == 0
     assert s.count({"query": {"term": {"text": "delta"}}}) == 400
+
+
+def test_numeric_term_query_with_null_docvalues(ray_session, tmp_path):
+    """A doc omitting an optional numeric field stores a null — an
+    equality term query must treat null as non-matching, not crash on
+    an object-dtype mask."""
+    import pyarrow as pa
+    import ray
+
+    schema = Schema.build(FieldDef("doc_id", "u64", fast=True),
+                          FieldDef("text", "text"),
+                          FieldDef("year", "i64", fast=False))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.uint64()),
+        "text": ["has year", "no year here", "same year"],
+        "year": pa.array([2020, None, 2020], pa.int64()),
+    })
+    root = str(tmp_path / "nulls")
+    build_index(ray.data.from_arrow(t), schema, root)
+    s = Searcher(root, distributed=False)
+    r = s.search({"query": {"term": {"year": "2020"}}})
+    assert sorted(d["doc"]["doc_id"] for d in r["docs"]) == [0, 2]
+
+
+def test_limit_zero_returns_empty(ray_session, tmp_path):
+    """limit=0 returns zero docs on every execution path (block-max
+    term, union, and the generic eval path) instead of a numpy
+    partition error."""
+    import pyarrow as pa
+    import ray
+
+    schema = Schema.build(FieldDef("doc_id", "u64", fast=True),
+                          FieldDef("text", "text"))
+    t = pa.table({"doc_id": pa.array(range(50), pa.uint64()),
+                  "text": ["common word here"] * 50})
+    root = str(tmp_path / "lim0")
+    build_index(ray.data.from_arrow(t), schema, root)
+    s = Searcher(root, distributed=False)
+    for q in [{"term": {"text": "common"}},
+              {"bool": {"should": [{"term": {"text": "common"}},
+                                   {"term": {"text": "word"}}]}},
+              None]:
+        r = s.search({"query": q, "limit": 0})
+        assert r["docs"] == [], q
+
+
+def test_regex_validated_by_executing_engine(ray_session, tmp_path):
+    """Regex validity is decided by the EXECUTING engine (Arrow RE2):
+    Python-only syntax (lookahead) raises the golden error; RE2-only
+    syntax (POSIX classes) is accepted."""
+    import pyarrow as pa
+    import ray
+
+    from toshi_ray.query import QueryError
+
+    schema = Schema.build(FieldDef("doc_id", "u64", fast=True),
+                          FieldDef("text", "text"))
+    t = pa.table({"doc_id": pa.array([0, 1], pa.uint64()),
+                  "text": ["alpha beta", "gamma delta"]})
+    root = str(tmp_path / "re2")
+    build_index(ray.data.from_arrow(t), schema, root)
+    s = Searcher(root, distributed=False)
+    with pytest.raises(QueryError) as e:
+        s.search({"query": {"regex": {"text": "foo(?=bar)"}}})
+    assert str(e.value).startswith("Error in query execution: 'Invalid regex:")
+    # RE2 accepts POSIX character classes Python's `re` rejects
+    r = s.search({"query": {"regex": {"text": "[[:alpha:]]+"}}})
+    assert r["hits"] == 2

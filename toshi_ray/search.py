@@ -16,9 +16,9 @@ Scoring semantics (tantivy 0.19 as configured by Toshi, SURVEY.md §2.5):
     score   = idf * (k1+1) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
     k1=1.2, b=0.75; dl = byte-quantized fieldnorm, avgdl from exact
     token totals; phrase queries use Σ idf of their terms and the
-    phrase frequency; range/all/regex score a constant 1.0 (regex is an
-    automaton query → const scorer); fuzzy scores the matched-VARIANT
-    count per doc (tantivy 0.19 semantics, SURVEY.md §2.5); bool sums
+    phrase frequency; range/all/regex/fuzzy score a constant 1.0 (regex
+    and fuzzy are automaton queries → AutomatonWeight wraps a
+    BitSetDocSet in ConstScorer(1.0)); bool sums
     its scoring clauses; `term^2` raw boosts multiply. Tie-break:
     (score desc, doc_id asc) — doc ids are insertion-ordered
     (SURVEY.md §2.2 T4).
@@ -58,6 +58,10 @@ from toshi_ray.query import (
 from toshi_ray.schema import Schema
 from toshi_ray.segments import POSTINGS_SANS_POSITIONS, SegmentReader
 
+import logging
+
+_SEARCH_LOG = logging.getLogger("toshi_ray.search")
+
 K1 = 1.2
 B = 0.75
 
@@ -89,6 +93,22 @@ class Stats:
     avgdl: dict  # field -> float
     idf: dict  # (field, term) -> float
     tombstones: np.ndarray | None = None
+
+
+class _StatsState:
+    """Per-manifest stats snapshot, rebound ATOMICALLY by refresh():
+    a query grabs one reference and reads a consistent (n_docs, avgdl,
+    df cache, tombstones) set even if a refresh lands mid-query. The
+    df cache is keyed to this snapshot's manifest; concurrent fills
+    are idempotent."""
+
+    __slots__ = ("n_docs", "avgdl", "tombstones", "df_cache")
+
+    def __init__(self, n_docs: int, avgdl: dict, tombstones: np.ndarray):
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.tombstones = tombstones
+        self.df_cache: dict = {}  # (field, term) -> global df
 
 
 def _levenshtein_filter_arrow(
@@ -342,6 +362,8 @@ class SegmentGroupScorer:
         Returns the segment-local top-k only (exact, tie-break-safe:
         skipping requires bound < θ strictly, so equal-score lower-doc
         candidates are always examined)."""
+        if k <= 0:  # limit=0: empty result, not a partition kth error
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
         field = node.field
         w = stats.idf.get((field, node.value), 0.0)
         tbl = reader.postings_for_terms(field, [node.value], POSTINGS_SANS_POSITIONS)
@@ -411,6 +433,8 @@ class SegmentGroupScorer:
         running k-th score θ. Blocks in skipped regions are never
         decoded. Exact incl. ties (strict-inequality stop, like the
         single-term path)."""
+        if k <= 0:  # limit=0: empty result, not a partition kth error
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
         avgdl = {f: max(stats.avgdl.get(f, 0.0), 1e-9)
                  for f in {q.field for q in node.should}}
         per_term = []  # (field, weight, rows, lasts, ub, row_of_blk, loc_blk)
@@ -560,7 +584,13 @@ class SegmentGroupScorer:
                     )
             else:
                 target = node.value
-            mask = pc.equal(vals, target).to_numpy(zero_copy_only=False)
+            # fill_null: a doc that omits this optional field stores a
+            # null — pc.equal propagates it and the null-bearing boolean
+            # would come back as an OBJECT array that numpy rejects as a
+            # mask (null never equals the target, per the reference)
+            mask = pc.fill_null(pc.equal(vals, target), False).to_numpy(
+                zero_copy_only=False
+            )
             ids = reader.doc_ids()[mask].astype(np.uint64)
             return ids, np.ones(ids.size, np.float64)
 
@@ -584,20 +614,37 @@ class SegmentGroupScorer:
                         terms_arr, node.value, node.distance, node.transposition
                     )
                 else:
+                    # validate with the ENGINE that executes (Arrow/RE2):
+                    # gating on Python's `re` would reject RE2-valid
+                    # patterns ([[:alpha:]]) and let Python-only syntax
+                    # (lookahead, backrefs) escape as ArrowInvalid
                     try:
-                        re.compile(node.pattern)
-                    except re.error:
-                        raise QueryError.execution(f"Invalid regex: {node.pattern}")
-                    matched_mask = pc.match_substring_regex(
-                        terms_arr, f"^(?:{node.pattern})$"
-                    )
+                        matched_mask = pc.match_substring_regex(
+                            terms_arr, f"^(?:{node.pattern})$"
+                        )
+                    except pa.ArrowInvalid:
+                        raise QueryError.execution(
+                            f"Invalid regex: {node.pattern}"
+                        ) from None
                     matched = terms_arr.filter(matched_mask).to_pylist()
                 if len(self._expand_cache) >= 1024:  # bound actor memory
                     self._expand_cache.pop(next(iter(self._expand_cache)))
                 self._expand_cache[ck] = matched
             if not matched:
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
-            parts = [self._postings(reader, node.field, t)[0] for t in matched]
+            # ONE batched postings fetch for every matched term (a broad
+            # regex can match 10^4 dict terms — per-term calls would be
+            # that many parquet scans); tf payloads are never decoded
+            # because the automaton scorer below is const-1.0
+            tbl = reader.postings_for_terms(
+                node.field, matched, POSTINGS_SANS_POSITIONS
+            )
+            if tbl.num_rows == 0:
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
+            parts = [
+                codecs.decode_doc_ids_blocked(r["doc_ids"], r["df"])
+                for r in tbl.select(["doc_ids", "df"]).to_pylist()
+            ]
             # Both fuzzy and regex are automaton queries in tantivy 0.19:
             # AutomatonWeight unions matching terms into one BitSetDocSet
             # wrapped in ConstScorer(1.0), so every matching doc scores 1.0
@@ -892,6 +939,7 @@ class Searcher:
         self._pool_lock = threading.Lock()  # guards _groups/_retired/_inflight
         self._retired: list = []  # old ray pools awaiting in-flight drain
         self._inflight = 0
+        self.last_refresh_error: Exception | None = None
         self.refresh()
 
     # ------------- lifecycle -------------
@@ -914,6 +962,13 @@ class Searcher:
                         v = json.load(f).get("version")
                     if v != self.manifest.get("version"):
                         self.refresh()
+                        self.last_refresh_error = None
+                except QueryError as e:
+                    # e.g. a FORMAT_VERSION bump: keep serving the old
+                    # snapshot but SURFACE it — swallowing would hide
+                    # exactly the hard-fail the format check provides
+                    self.last_refresh_error = e
+                    _SEARCH_LOG.warning("auto-refresh failed: %s", e)
                 except Exception:
                     pass  # mid-swap read; next tick sees the new manifest
 
@@ -940,16 +995,24 @@ class Searcher:
         with open(os.path.join(self.index_root, SCHEMA_FILE)) as f:
             self.schema = Schema.from_json(json.load(f))
         self.segments = self.manifest["segments"]
-        self.n_docs = sum(s["num_docs"] for s in self.segments)
-        self.avgdl = {}
+        n_docs = sum(s["num_docs"] for s in self.segments)
+        avgdl: dict[str, float] = {}
         totals: dict[str, int] = {}
         for s in self.segments:
             for fname, st in s.get("field_stats", {}).items():
                 totals[fname] = totals.get(fname, 0) + st["total_tokens"]
         for fname, tot in totals.items():
-            self.avgdl[fname] = tot / self.n_docs if self.n_docs else 0.0
-        self.tombstones = self._load_tombstones()
-        self._df_cache: dict = {}  # (field, term) -> global df; static per manifest
+            avgdl[fname] = tot / n_docs if n_docs else 0.0
+        tombstones = self._load_tombstones()
+        # ONE atomic rebind: in-flight queries snapshot _stats_state once
+        # and see a consistent (n_docs, avgdl, df cache, tombstones) set —
+        # piecemeal attribute swaps would tear stats mid-query (stale df
+        # against new n_docs → wrong idf, or a KeyError on the fresh cache)
+        self._stats_state = _StatsState(n_docs, avgdl, tombstones)
+        # convenience mirrors for external readers (tests, callers)
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.tombstones = tombstones
         self._teardown_groups()
 
     def _load_tombstones(self) -> np.ndarray:
@@ -987,10 +1050,11 @@ class Searcher:
         self._kill_pools(doomed)
 
     def close(self) -> None:
-        """Kill the scorer actor pool (frees their reserved CPUs).
-        Retired pools are reaped only when nothing is in flight — a
-        concurrent search (auto-refresh thread, another caller mid
+        """Stop the auto-refresh ticker and kill the scorer actor pool
+        (frees their reserved CPUs). Retired pools are reaped only when
+        nothing is in flight — a concurrent search (another caller mid
         ray.get) still holds them; the last `_pool()` exit kills them."""
+        self.stop_auto_refresh()
         self._teardown_groups()
         with self._pool_lock:
             if self._inflight:
@@ -1002,6 +1066,11 @@ class Searcher:
         return os.path.join(self.index_root, SEGMENTS_DIR, seg["name"])
 
     def _ensure_groups(self):
+        """Create the scorer pool if absent. MUST be called with
+        _pool_lock held: an unsynchronized check-then-create lets two
+        first queries each build an actor pool (one leaks its reserved
+        CPUs forever), and a refresh between creation and pinning would
+        kill the pool under the query's feet."""
         if self._groups:
             return
         dirs = [self._seg_dir(s) for s in self.segments]
@@ -1039,9 +1108,11 @@ class Searcher:
     def _pool(self):
         """Pin the current scorer pool for the duration of a query: a
         concurrent refresh retires (not kills) the pool until the last
-        in-flight call releases it."""
-        self._ensure_groups()
+        in-flight call releases it. Creation and pinning are ONE
+        critical section — a refresh in between would tear down a pool
+        the query is about to snapshot (silent zero-hit results)."""
         with self._pool_lock:
+            self._ensure_groups()
             groups = list(self._groups)
             self._inflight += 1
         try:
@@ -1082,22 +1153,32 @@ class Searcher:
             s.query = parse_raw(s.query.query, self.schema)
         return s
 
-    def _stats_for(self, plan) -> Stats:
-        needs = sorted(set(_collect_term_stats_needs(plan, self.schema)))
-        missing = [n for n in needs if n not in self._df_cache]
+    def _stats_for_plans(self, plans) -> Stats:
+        """Shared stats phase: one snapshot of the per-manifest stats
+        state (refresh rebinds it atomically — never read the attrs
+        piecemeal mid-query), one df round-trip for the union of
+        missing terms, one Stats."""
+        st = self._stats_state
+        needs = sorted(
+            {n for p in plans for n in _collect_term_stats_needs(p, self.schema)}
+        )
+        missing = [n for n in needs if n not in st.df_cache]
         if missing:
             dfs: dict = {}
             for part in self._call("term_dfs", missing):
                 for kt, df in part.items():
                     dfs[kt] = dfs.get(kt, 0) + df
             for kt in missing:
-                self._df_cache[kt] = dfs.get(kt, 0)
+                st.df_cache[kt] = dfs.get(kt, 0)
         return Stats(
-            n_docs=self.n_docs,
-            avgdl=self.avgdl,
-            idf={kt: float(idf(self.n_docs, self._df_cache[kt])) for kt in needs},
-            tombstones=self.tombstones if self.tombstones.size else None,
+            n_docs=st.n_docs,
+            avgdl=st.avgdl,
+            idf={kt: float(idf(st.n_docs, st.df_cache[kt])) for kt in needs},
+            tombstones=st.tombstones if st.tombstones.size else None,
         )
+
+    def _stats_for(self, plan) -> Stats:
+        return self._stats_for_plans([plan])
 
     def search(self, body: dict | Search | None = None) -> dict:
         """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""
@@ -1109,22 +1190,7 @@ class Searcher:
         searches = [self._plan(b) for b in bodies]
         # shared stats phase over the union of needed terms; global df is
         # static per manifest version, so repeat terms skip the round-trip
-        needs = sorted({n for s in searches for n in _collect_term_stats_needs(s.query, self.schema)})
-        missing = [n for n in needs if n not in self._df_cache]
-        if missing:
-            dfs: dict = {}
-            for part in self._call("term_dfs", missing):
-                for kt, df in part.items():
-                    dfs[kt] = dfs.get(kt, 0) + df
-            for kt in missing:
-                self._df_cache[kt] = dfs.get(kt, 0)
-        idf_map = {kt: float(idf(self.n_docs, self._df_cache[kt])) for kt in needs}
-        stats = Stats(
-            n_docs=self.n_docs,
-            avgdl=self.avgdl,
-            idf=idf_map,
-            tombstones=self.tombstones if self.tombstones.size else None,
-        )
+        stats = self._stats_for_plans([s.query for s in searches])
         # scoring AND winner-fetch pin ONE pool snapshot: a refresh
         # between the phases would remap group indices to different
         # segment sets and fetch the wrong stored docs

@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY query — 35 of 35. ``dedup_minhash`` and
-    the composed ``minhash_verify`` run
+    """DuckDB twins for EVERY query — 36 of 36. ``dedup_minhash``, the
+    composed ``minhash_verify`` and the cluster-resolving
+    ``dedup_cluster`` (recursive min-label CTE) run
     the derandomized `perm_hash="sql"` permutation scheme so DuckDB can
     recompute signatures, band buckets and agreement counts exactly
     (the production path keeps seeded random permutations)."""

@@ -788,3 +788,48 @@ def test_lsh_topk_prunes_and_reranks_exactly(ray_session):
                     query_ids=qids, planes="axis")
     bf = brute_force_topk(ds, q, k=5, query_ids=qids)
     assert full["vec_id"].tolist() == bf["vec_id"].tolist()
+
+
+def test_dup_components_resolves_transitive_chains(ray_session):
+    """Near-dup pairs are not transitive — the component operator must
+    chase chains: 1-2, 2-3, 3-4 is ONE cluster keyed by 1, even though
+    (1,4) never paired. Singletons (docs in no pair) are omitted."""
+    import ray.data
+
+    from toshi_ray.ops.dedup import dup_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 20, 21, 5], "id_b": [2, 3, 4, 21, 22, 100]}
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_components(pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 22: 20, 5: 5, 100: 5}
+
+
+def test_dup_components_distributed_matches_driver(ray_session):
+    """The distributed label-propagation path (forced via driver_cap=0)
+    must produce exactly the driver union-find's output, including on a
+    long chain (worst-case diameter) with shuffled, non-contiguous ids
+    spanning > 2^53 (pandas float64 would corrupt them)."""
+    from toshi_ray.ops.dedup import dup_components
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(np.arange(1, 1 << 62, (1 << 62) // 500, dtype=np.int64),
+                     size=40, replace=False)
+    chain = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})  # one 40-node path
+    ring = pd.DataFrame({"id_a": [1000, 1001, 1002], "id_b": [1001, 1002, 1000]})
+    pairs = pd.concat([chain, ring], ignore_index=True)
+
+    drv = pd.DataFrame(dup_components(pairs).take_all())
+    dist = pd.DataFrame(dup_components(pairs, driver_cap=0).take_all())
+    drv = drv.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
+    assert set(drv["component"]) == {int(ids.min()), 1000}
+
+
+def test_dup_components_empty(ray_session):
+    from toshi_ray.ops.dedup import dup_components
+
+    out = dup_components(pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                       "id_b": pd.Series(dtype="int64")}))
+    assert out.take_all() == []

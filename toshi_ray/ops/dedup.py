@@ -1038,3 +1038,233 @@ def embedding_near_dup_pairs(
 
     exploded = ds.map_batches(bucketize, batch_format="pyarrow")
     return _pairs_by_partition(exploded, ["bucket"], bucket_pairs, "cosine", float)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+# The last stage of the standard web-scale dedup pipeline (candidate
+# pairs are not actionable on their own — near-duplication is not
+# transitive, so a doc can pair with two docs that never paired with
+# each other): resolve the pair graph into clusters and keep one
+# canonical doc per cluster (the min doc_id, matching exact_dedup's
+# keep-first rule).
+
+
+def _components_driver(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label connected components over edge arrays.
+    Labels live in index space over the sorted unique node array; each
+    round scatters the min across every edge (np.minimum.at) and then
+    pointer-jumps (lbl = min(lbl, lbl[lbl])), so the round count is
+    O(log diameter) and each round is O(E) numpy work — no Python loop
+    over edges or nodes. At the fixpoint both endpoints of every edge
+    carry the same label, and that label is the component's smallest
+    node index (labels only decrease and only hold component members)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lbl = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ia, lbl[ib])
+        np.minimum.at(new, ib, lbl[ia])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return nodes, nodes[lbl]
+
+
+def dup_components(pairs, *, driver_cap: int = PAIR_DRIVER_CAP, max_rounds: int = 64):
+    """Connected components over a near-dup pair set → Dataset of
+    (doc_id, component) where component is the smallest doc_id reachable
+    through the pair graph (the cluster canonical — ``doc_id ==
+    component`` marks the row to keep). Only docs appearing in at least
+    one pair are returned; every other doc is trivially its own
+    component.
+
+    Two paths, same contract as ``minhash_lsh_pairs``:
+
+    - ``n_pairs <= driver_cap`` (16 B/pair → ~80 MB at the default):
+      gather the edge list and run the vectorized pointer-jumping
+      min-label loop on the driver (`_components_driver`).
+    - above the cap: fully distributed hash-min label propagation.
+      Edges (both directions, pre-keyed by source hash) are
+      materialized ONCE; each round is one union+groupby reduce that
+      joins every directed edge to its source's current label and a
+      second reduce that takes the min per target node and counts
+      changes. Converges in graph-diameter rounds — near-dup graphs
+      are low-diameter by construction (LSH buckets emit cliques, and
+      oversized buckets emit stars via `_pair_index`). Only the
+      O(nodes) label table moves per round; documents never do.
+    """
+    import ray
+    import ray.data
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs)
+    elif isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_pairs <= driver_cap:
+        rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+        a = np.array([int(r["id_a"]) for r in rows], dtype=np.int64)
+        b = np.array([int(r["id_b"]) for r in rows], dtype=np.int64)
+        nodes, comp = _components_driver(a, b)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "component": pa.array(comp)})
+        )
+
+    _LOG.warning(
+        "dup_components: %d pairs exceed driver_cap=%d; "
+        "running distributed label propagation", n_pairs, driver_cap,
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "lbl": pa.nulls(src.size, pa.int64()),
+                "role": pa.array(np.zeros(src.size, np.int8)),
+                "part": pa.array((_mix(src.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    # one directed edge per (pair, direction), keyed by source — built
+    # and shuffled once, reused every round
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def init_nodes(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "node": pa.array(ids),
+                "lbl": pa.array(ids),
+                "is_old": pa.array(np.ones(ids.size, np.int8)),
+                "part2": pa.array((_mix(ids.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    red_schema = pa.schema(
+        [("node", pa.int64()), ("lbl", pa.int64()), ("changed", pa.int64())]
+    )
+
+    def reduce_min(t: pa.Table) -> pa.Table:
+        # pure Arrow/numpy (pandas would float64-promote the nullable
+        # int64 lbl column and corrupt ids above 2^53)
+        if t.num_rows == 0:
+            return red_schema.empty_table()
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_old = t["is_old"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((~is_old, node))  # old row first per node
+        node_s, lbl_s, old_s = node[order], lbl[order], is_old[order]
+        starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+        mins = np.minimum.reduceat(lbl_s, starts)
+        # every node has exactly one is_old row (the label table covers
+        # all endpoints), sorted to the front of its run
+        old = lbl_s[starts]
+        assert old_s[starts].all(), "label table must cover every node"
+        return pa.table(
+            {
+                "node": pa.array(node_s[starts]),
+                "lbl": pa.array(mins),
+                "changed": pa.array((mins < old).astype(np.int64)),
+            }
+        )
+
+    labels = (
+        edges.map_batches(init_nodes, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(
+            lambda t: reduce_min(t).drop_columns(["changed"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    prop_schema = pa.schema(
+        [("node", pa.int64()), ("lbl", pa.int64()), ("is_old", pa.int8()),
+         ("part2", pa.int64())]
+    )
+
+    def propagate(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ed = t.filter(pa.array(role == 0))
+        lb = t.filter(pa.array(role == 1))
+        lnode = lb["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        llbl = lb["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        if lb.num_rows:
+            outs.append((lnode, llbl, np.ones(lnode.size, np.int8)))
+        if ed.num_rows and lb.num_rows:
+            order = np.argsort(lnode, kind="stable")
+            ln_s, ll_s = lnode[order], llbl[order]
+            esrc = ed["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            edst = ed["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ln_s, esrc)
+            # every edge source has a label row in its own partition
+            outs.append((edst, ll_s[pos], np.zeros(edst.size, np.int8)))
+        if not outs:
+            return prop_schema.empty_table()
+        node = np.concatenate([o[0] for o in outs])
+        lbl = np.concatenate([o[1] for o in outs])
+        old = np.concatenate([o[2] for o in outs])
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "lbl": pa.array(lbl),
+                "is_old": pa.array(old),
+                "part2": pa.array((_mix(node.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ids),
+                "dst": pa.nulls(ids.size, pa.int64()),
+                "lbl": t["lbl"].combine_chunks().cast(pa.int64()),
+                "role": pa.array(np.ones(ids.size, np.int8)),
+                "part": pa.array((_mix(ids.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        cand = (
+            edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        new_labels = (
+            cand.groupby("part2")
+            .map_groups(reduce_min, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
+        if not changed:
+            break
+    else:
+        _LOG.warning("dup_components: hit max_rounds=%d before convergence", max_rounds)
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"].combine_chunks().cast(pa.int64()),
+                "component": t["lbl"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -204,6 +204,33 @@ FROM j ORDER BY id_a, id_b
 """
 
 
+def dedup_cluster_sql(num_perm: int = 64, bands: int = 16, min_agree: int = 20) -> str:
+    """Duplicate-CLUSTER resolution twin: derandomized minhash LSH pairs
+    (agreement >= threshold) → connected components via a recursive
+    min-label CTE. Near-duplication is not transitive, so the pair list
+    alone is not actionable — the component (smallest reachable doc_id)
+    is what a dedup keep/drop decision keys on. The recursive step
+    propagates any label smaller than the target node across each
+    directed edge; UNION-dedup guarantees termination, and min(lbl) per
+    node is the component canonical (the min label always reaches every
+    member because it is smaller than every node it crosses)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_perm, bands)},
+keep AS (SELECT id_a, id_b FROM scored WHERE n_agree >= {min_agree}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM keep
+          UNION ALL
+          SELECT id_b, id_a FROM keep),
+cc AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
+  WHERE c.lbl < e.dst
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM cc GROUP BY id ORDER BY doc_id
+"""
+
+
 def fingerprint_sql() -> str:
     """Horner fold over per-token hashes, mod 2^31-1 — the exact engine
     recurrence (fp = fp*1000003 + h, all BIGINT-safe)."""
@@ -469,6 +496,31 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
         df.drop(columns=["est_jaccard"])
         .astype({"id_a": "int64", "id_b": "int64"})
         .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_dedup_cluster(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster resolution — the stage that makes near-dup
+    pairs actionable: minhash LSH pairs (derandomized SQL scheme, same
+    parameters as dedup_minhash) → connected components → one
+    (doc_id, component) row per doc in any cluster, component = min
+    doc_id reachable (the canonical keeper). The DuckDB twin recomputes
+    the pairs and resolves components with a recursive min-label CTE."""
+    from toshi_ray.ops.dedup import dup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql",
+        bucket_cap=1 << 40,  # SQL twin enumerates all bucket pairs
+    )
+    rows = dup_components(pairs).take_all()
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "component": pd.Series(dtype="int64")})
+    return (
+        pd.DataFrame(rows)[["doc_id", "component"]]
+        .astype({"doc_id": "int64", "component": "int64"})
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
 
@@ -966,6 +1018,7 @@ FROM documents GROUP BY text ORDER BY doc_id
     sql["simhash"] = simhash62_sql()
     sql["dedup_minhash"] = minhash_sql()
     sql["minhash_verify"] = minhash_verify_sql()
+    sql["dedup_cluster"] = dedup_cluster_sql()
     sql["fingerprint"] = fingerprint_sql()
 
     # all pairs within a source whose exact token-trigram jaccard clears
@@ -1178,6 +1231,7 @@ QUERIES = {
     "dedup_drop": q_dedup_drop,
     "dedup_minhash": q_dedup_minhash,
     "minhash_verify": q_minhash_verify,
+    "dedup_cluster": q_dedup_cluster,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_near_dup": q_embed_near_dup,

@@ -833,3 +833,47 @@ def test_dup_components_empty(ray_session):
     out = dup_components(pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                        "id_b": pd.Series(dtype="int64")}))
     assert out.take_all() == []
+
+
+def test_repetition_stats_brute_force(ray_session):
+    """Handcrafted corpus vs a per-doc Python reference: duplicate
+    trigrams, a bigram-count tie (broken by the bytewise-smaller
+    bigram), a one-token doc and an empty doc."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from toshi_ray.ops.textstats import repetition_stats
+
+    texts = [
+        "a b a b c a b",              # top bigram (a,b) x3; dup trigram (a,b,?)...
+        "x y z x y z x y z",          # heavy repetition
+        "b a b a c c b a",            # tie shapes
+        "zz aa zz aa",                # tie between (zz,aa) and (aa,zz) -> aa zz? counts differ
+        "solo",                        # one token: no bigrams
+        "",                            # empty
+        "Tie tie TIE tie",            # lowercasing collapses everything
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = {r["doc_id"]: r for r in repetition_stats(ray.data.from_arrow(t)).take_all()}
+
+    for did, txt in enumerate(texts):
+        tk = [w for w in re.split(r"[^a-z0-9]+", txt.lower()) if 0 < len(w) < 40]
+        den = sum(map(len, tk))
+        big = Counter(zip(tk, tk[1:]))
+        if big:
+            # explicit tie-break: max count, then bytewise-smallest "w1 w2"
+            best = sorted(big.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+            top, cnt = best
+            num2 = cnt * (len(top[0]) + len(top[1]))
+        else:
+            cnt, num2 = 0, 0
+        tri = Counter(zip(tk, tk[1:], tk[2:]))
+        num3 = sum(c * sum(map(len, g)) for g, c in tri.items() if c > 1)
+        r = got[did]
+        assert r["tok_chars"] == den, did
+        assert r["top2_cnt"] == cnt, did
+        assert r["top2_ppm"] == num2 * 1_000_000 // max(den, 1), did
+        assert r["dup3_ppm"] == num3 * 1_000_000 // max(den, 1), did

@@ -138,6 +138,108 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(pred, batch_format="pyarrow")
 
 
+def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, tok_chars, top2_cnt, top2_ppm, dup3_ppm) — the
+    Gopher-family repetition-quality signals (Rae et al. 2021, Table A1)
+    over the analyzed token stream:
+
+    - ``top2_cnt``: occurrence count of the doc's most frequent word
+      2-gram (ties broken by the bytewise-smallest ``w1 + ' ' + w2``).
+    - ``top2_ppm``: characters covered by that 2-gram's occurrences as
+      parts-per-million of the doc's total token characters.
+    - ``dup3_ppm``: characters covered by all *duplicated* 3-grams
+      (count > 1, counted with multiplicity) as ppm of token chars.
+
+    Every value is an int64 computed with integer arithmetic only
+    (``num * 1_000_000 // tok_chars``), so the DuckDB twin is
+    hash-exact with zero float tolerance. N-grams are over the KEPT
+    token stream (adjacent after the analyzer's long-token drop), which
+    the SQL `list_filter` reproduces. The tie-break is valid because a
+    space sorts below every token character ([0-9a-z]), so bytewise
+    order of ``w1 || ' ' || w2`` equals order of the (w1, w2) pair.
+    """
+    ds = ds.select_columns([id_col, col])  # prune at the read
+
+    def _runs(keys: list[np.ndarray], doc: np.ndarray):
+        """Sort (doc, *keys) lexicographically → (run_starts, order)."""
+        order = np.lexsort(tuple(reversed(keys)) + (doc,))
+        cols = [doc[order]] + [k[order] for k in keys]
+        neq = np.zeros(doc.size, dtype=bool)
+        neq[0] = True
+        for c in cols:
+            neq[1:] |= c[1:] != c[:-1]
+        return np.flatnonzero(neq), order
+
+    def stats(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        lens = pc.utf8_length(tc.terms).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_chars = np.bincount(tc.doc_index, weights=lens, minlength=n).astype(np.int64)
+
+        codes, vocab = tc.term_ids()
+        top2_cnt = np.zeros(n, np.int64)
+        top2_num = np.zeros(n, np.int64)
+        dup3_num = np.zeros(n, np.int64)
+        if codes.size:
+            # remap dictionary codes (first-occurrence order) to ranks in
+            # bytewise-sorted vocab order so code order == DuckDB's binary
+            # VARCHAR collation (the tie-break contract above)
+            sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+            rank = np.empty(len(vocab), np.int64)
+            rank[sort_idx] = np.arange(len(vocab))
+            # vlen is indexed by RANK code → permute dict-order lengths
+            vlen = (
+                pc.utf8_length(vocab)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[sort_idx]
+            )
+            rc = rank[codes]
+            doc = tc.doc_index.astype(np.int64)
+
+            m2 = doc[1:] == doc[:-1]
+            if m2.any():
+                d2 = doc[:-1][m2]
+                c1, c2 = rc[:-1][m2], rc[1:][m2]
+                glen = vlen[c1] + vlen[c2]
+                starts, order = _runs([c1, c2], d2)
+                cnt = np.diff(np.r_[starts, d2.size])
+                rdoc = d2[order][starts]
+                rglen = glen[order][starts]
+                # per doc: max count, ties → earliest run (smallest (c1,c2))
+                pick = np.lexsort((np.arange(starts.size), -cnt, rdoc))
+                first = np.flatnonzero(
+                    np.r_[True, rdoc[pick][1:] != rdoc[pick][:-1]]
+                )
+                sel = pick[first]
+                top2_cnt[rdoc[sel]] = cnt[sel]
+                top2_num[rdoc[sel]] = cnt[sel] * rglen[sel]
+
+            m3 = doc[2:] == doc[:-2]
+            if m3.any():
+                d3 = doc[:-2][m3]
+                k1, k2, k3 = rc[:-2][m3], rc[1:-1][m3], rc[2:][m3]
+                glen3 = vlen[k1] + vlen[k2] + vlen[k3]
+                starts, order = _runs([k1, k2, k3], d3)
+                cnt = np.diff(np.r_[starts, d3.size])
+                rdoc = d3[order][starts]
+                rglen = glen3[order][starts]
+                dup = cnt > 1
+                np.add.at(dup3_num, rdoc[dup], cnt[dup] * rglen[dup])
+
+        safe = np.maximum(tok_chars, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "tok_chars": pa.array(tok_chars),
+                "top2_cnt": pa.array(top2_cnt),
+                "top2_ppm": pa.array(top2_num * 1_000_000 // safe),
+                "dup3_ppm": pa.array(dup3_num * 1_000_000 // safe),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def fingerprint(ds, col: str = "text", id_col: str = "doc_id",
                 token_hash: str = "fast"):
     """→ (doc_id, fp): rolling polynomial hash over the token stream —

@@ -760,6 +760,23 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition-quality signals per doc — most-frequent
+    2-gram coverage and duplicated-3-gram coverage as ppm of token
+    characters. Pure integer contract (floor-div on int64 both sides),
+    so the twin is hash-exact with no float tolerance."""
+    from toshi_ray.ops.textstats import repetition_stats
+
+    rows = repetition_stats(_docs_ds(sf_dir)).take_all()
+    return (
+        pd.DataFrame(rows)[
+            ["doc_id", "tok_chars", "top2_cnt", "top2_ppm", "dup3_ppm"]
+        ]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1128,6 +1145,43 @@ FROM (SELECT d.doc_id, d.text, t.tk FROM documents d JOIN toks t USING (doc_id))
 ORDER BY doc_id
 """
 
+    # repetition signals: lockstep-unnest token index, self-join for
+    # adjacent 2-/3-grams, per-doc top-1 bigram with the bytewise
+    # 'w1 || space || w2' tie-break (valid because space sorts below
+    # every token char), all-integer ppm via floor division
+    sql["repetition"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+den AS (SELECT doc_id, CAST(sum(strlen(t)) AS BIGINT) AS tok_chars FROM idx GROUP BY doc_id),
+big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+        FROM idx a JOIN idx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+bcnt AS (SELECT doc_id, w1, w2, count(*) AS cnt,
+                strlen(w1) + strlen(w2) AS glen
+         FROM big GROUP BY doc_id, w1, w2),
+btop AS (SELECT doc_id, cnt, cnt * glen AS num
+         FROM bcnt
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, w1 || ' ' || w2) = 1),
+tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+        FROM idx a JOIN idx b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                   JOIN idx c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+tcnt AS (SELECT doc_id, w1, w2, w3, count(*) AS cnt,
+                strlen(w1) + strlen(w2) + strlen(w3) AS glen
+         FROM tri GROUP BY doc_id, w1, w2, w3),
+tdup AS (SELECT doc_id, CAST(sum(cnt * glen) AS BIGINT) AS num
+         FROM tcnt WHERE cnt > 1 GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       coalesce(d.tok_chars, 0) AS tok_chars,
+       CAST(coalesce(b.cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(coalesce(b.num, 0) * 1000000 // greatest(coalesce(d.tok_chars, 0), 1) AS BIGINT) AS top2_ppm,
+       CAST(coalesce(td.num, 0) * 1000000 // greatest(coalesce(d.tok_chars, 0), 1) AS BIGINT) AS dup3_ppm
+FROM toks t
+LEFT JOIN den d USING (doc_id)
+LEFT JOIN btop b USING (doc_id)
+LEFT JOIN tdup td USING (doc_id)
+ORDER BY doc_id
+"""
+
     sql["quality"] = f"""
 WITH {TOKENS_CTE},
 v AS (
@@ -1243,6 +1297,7 @@ QUERIES = {
     "decontam": q_decontam,
     "token_stats": q_token_stats,
     "quality": q_quality,
+    "repetition": q_repetition,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

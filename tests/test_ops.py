@@ -877,3 +877,54 @@ def test_repetition_stats_brute_force(ray_session):
         assert r["top2_cnt"] == cnt, did
         assert r["top2_ppm"] == num2 * 1_000_000 // max(den, 1), did
         assert r["dup3_ppm"] == num3 * 1_000_000 // max(den, 1), did
+
+
+def test_sampling_deterministic_and_nested(ray_session):
+    """hash_sample must be batch-invariant and NESTED: the 10% sample
+    is a strict subset of the 30% sample (monotone keep-rule), so rate
+    sweeps are reproducible. stratified_sample honors per-stratum rates
+    incl. a hard 0 (stratum fully excluded) and the default rate."""
+    import ray.data
+
+    from toshi_ray.ops.sampling import hash_sample, stratified_sample
+
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64) * 7919 + 13),
+        "lang": pa.array(["en", "de", "zh", "fr"] * (n // 4)),
+    })
+    ds_big = ray.data.from_arrow(t)  # one block
+    ds_small = ray.data.from_arrow(t).repartition(17)  # many blocks
+
+    s10_a = sorted(r["doc_id"] for r in hash_sample(ds_big, 100_000).take_all())
+    s10_b = sorted(r["doc_id"] for r in hash_sample(ds_small, 100_000).take_all())
+    assert s10_a == s10_b  # batch/partition invariant
+    s30 = set(r["doc_id"] for r in hash_sample(ds_big, 300_000).take_all())
+    assert set(s10_a) <= s30  # nested
+    assert 0.05 < len(s10_a) / n < 0.15  # roughly the configured rate
+
+    kept = stratified_sample(
+        ds_big, {"zh": 0, "en": 1_000_000}, strata_col="lang", default_ppm=200_000
+    ).take_all()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    assert "zh" not in by_lang            # rate 0 → fully excluded
+    assert by_lang["en"] == n // 4        # rate 1e6 → fully kept
+    for lg in ("de", "fr"):               # default rate ~20%
+        assert 0.1 < by_lang[lg] / (n // 4) < 0.3
+
+
+def test_assign_split_stable(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.sampling import assign_split
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64))})
+    a = {r["doc_id"]: r["split"] for r in assign_split(ray.data.from_arrow(t)).take_all()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(ray.data.from_arrow(t).repartition(11)).take_all()}
+    assert a == b
+    n_eval = sum(1 for v in a.values() if v == "eval")
+    assert 0 < n_eval < 100  # ~1% of 2000

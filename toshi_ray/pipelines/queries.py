@@ -777,6 +777,42 @@ def q_repetition(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic data-mixing: per-language stratified sample
+    (en 25%, de 50%, zh 0%, default 70%) + train/eval split tag — both
+    keyed on the double-Lehmer hash of doc_id, which the DuckDB twin
+    recomputes verbatim. Map-only on the engine side (no shuffle)."""
+    import ray.data
+
+    from toshi_ray.ops.sampling import assign_split, stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    kept = assign_split(
+        stratified_sample(
+            ds,
+            {"en": 250_000, "de": 500_000, "zh": 0},
+            strata_col="lang",
+            default_ppm=700_000,
+        ),
+        eval_ppm=10_000,
+    )
+    rows = kept.take_all()
+    if not rows:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "lang": pd.Series(dtype="object"),
+             "split": pd.Series(dtype="object")}
+        )
+    return (
+        pd.DataFrame(rows)[["doc_id", "lang", "split"]]
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1182,6 +1218,22 @@ LEFT JOIN tdup td USING (doc_id)
 ORDER BY doc_id
 """
 
+    # deterministic mixing: the double-Lehmer keep-hash recomputed
+    # verbatim (kernel + SQL twin live together in ops/sampling.py)
+    from toshi_ray.ops.sampling import lehmer2_sql
+
+    sql["mix_sample"] = f"""
+WITH h AS (SELECT doc_id, lang,
+                  {lehmer2_sql('doc_id')} % 1000000 AS r
+           FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CASE WHEN r < 10000 THEN 'eval' ELSE 'train' END AS split
+FROM h
+WHERE r < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                    WHEN 'zh' THEN 0 ELSE 700000 END
+ORDER BY doc_id
+"""
+
     sql["quality"] = f"""
 WITH {TOKENS_CTE},
 v AS (
@@ -1298,6 +1350,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality": q_quality,
     "repetition": q_repetition,
+    "mix_sample": q_mix_sample,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

@@ -928,3 +928,27 @@ def test_assign_split_stable(ray_session):
     assert a == b
     n_eval = sum(1 for v in a.values() if v == "eval")
     assert 0 < n_eval < 100  # ~1% of 2000
+
+
+def test_source_stats_injected_dups_and_langs(ray_session):
+    """Handcrafted corpus: cross-partition distinct counting must see
+    the same text duplicated across batches as ONE unique text, count
+    distinct langs per source, and keep sources independent."""
+    import ray.data
+
+    from toshi_ray.ops.corpus import source_stats
+
+    t = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "source": ["a", "a", "a", "b", "b", "b", "b"],
+        "lang": ["en", "de", "en", "en", "en", "fr", "fr"],
+        "text": ["dup", "dup", "uniq", "x", "x", "x", "y"],
+        "n_chars": pa.array([3, 3, 4, 1, 1, 1, 1], pa.int64()),
+    })
+    got = {r["source"]: r
+           for r in source_stats(ray.data.from_arrow(t).repartition(4)).take_all()}
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["n_uniq_texts"], a["dup_docs"], a["n_langs"],
+            a["chars_total"]) == (3, 2, 1, 2, 10)
+    assert (b["n_docs"], b["n_uniq_texts"], b["dup_docs"], b["n_langs"],
+            b["chars_total"]) == (4, 2, 2, 2, 4)

@@ -1,0 +1,217 @@
+"""Corpus-level reporting operators.
+
+`source_stats` is the per-domain health report every web-scale corpus
+pipeline runs before mixing: how many documents, how much text, how
+many languages, and how much exact duplication each source/domain
+contributes (the inputs to per-domain mixing weights and dup-heavy
+domain triage).
+
+Scale design: distinct-text counting is partitioned by CONTENT HASH,
+not by source — a given (source, h) pair lands in exactly one
+partition, so per-partition distinct counts ADD across partitions and
+a hot domain never concentrates in one task. Per-source partials then
+reduce in a second, slim shuffle whose rows are O(partitions x
+sources), not O(documents). Same 64-bit content-hash identity as
+`exact_dedup` (collision odds documented there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from toshi_ray.ops.dedup import N_PAIR_PARTS, _hash_strings, _mix
+
+_U = np.uint64
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("lang", pa.string()),
+        ("h", pa.int64()),
+        ("cnt", pa.int64()),
+        ("chars", pa.int64()),
+        ("part", pa.int64()),
+    ]
+)
+
+_MID_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("lang", pa.string()),
+        ("role", pa.int8()),  # 0 = per-source numeric partial, 1 = (source, lang)
+        ("n_docs", pa.int64()),
+        ("chars_sum", pa.int64()),
+        ("n_uniq", pa.int64()),
+        ("spart", pa.int64()),
+    ]
+)
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("chars_total", pa.int64()),
+        ("n_langs", pa.int64()),
+        ("n_uniq_texts", pa.int64()),
+        ("dup_docs", pa.int64()),
+    ]
+)
+
+
+def _codes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64), d.dictionary
+
+
+def _run_starts(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lexsort rows by (cols[0], cols[1], ...) → (order, run_starts)."""
+    order = np.lexsort(tuple(reversed(cols)))
+    neq = np.zeros(cols[0].size, dtype=bool)
+    neq[0] = True
+    for c in cols:
+        cs = c[order]
+        neq[1:] |= cs[1:] != cs[:-1]
+    return order, np.flatnonzero(neq)
+
+
+def _spart(source: pa.Array) -> pa.Array:
+    return pa.array(
+        (_mix(_hash_strings(source.combine_chunks() if isinstance(source, pa.ChunkedArray) else source))
+         % _U(N_PAIR_PARTS)).astype(np.int64)
+    )
+
+
+def source_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+):
+    """→ (source, n_docs, chars_total, n_langs, n_uniq_texts, dup_docs)
+    — one row per source, sorted upstream by the caller if needed.
+    ``dup_docs = n_docs - n_uniq_texts`` (exact-duplicate surplus)."""
+    ds = ds.select_columns([source_col, lang_col, text_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        text = t[text_col].combine_chunks().cast(pa.string())
+        h = _hash_strings(text).view(np.int64)
+        chars = pc.utf8_length(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sc, svoc = _codes(t[source_col])
+        lc, lvoc = _codes(t[lang_col])
+        order, starts = _run_starts(sc, h, lc)
+        cnt = np.diff(np.r_[starts, n])
+        chars_sum = np.add.reduceat(chars[order], starts)
+        rs, rh, rl = sc[order][starts], h[order][starts], lc[order][starts]
+        return pa.table(
+            {
+                "source": svoc.take(pa.array(rs)).cast(pa.string()),
+                "lang": lvoc.take(pa.array(rl)).cast(pa.string()),
+                "h": pa.array(rh),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "chars": pa.array(chars_sum.astype(np.int64)),
+                "part": pa.array((_mix(rh.view(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _MID_SCHEMA.empty_table()
+        sc, svoc = _codes(t["source"])
+        lc, lvoc = _codes(t["lang"])
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = t["chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # per-source numeric partials (partition-additive because each
+        # (source, h) exists in exactly this partition)
+        order, s_starts = _run_starts(sc, h)
+        so, ho = sc[order], h[order]
+        new_sh = np.zeros(n, dtype=bool)
+        new_sh[s_starts] = True  # first row of each (source, h) run
+        n_src = int(len(svoc))
+        run_src = so[s_starts]
+        n_uniq = np.bincount(run_src, minlength=n_src)
+        n_docs = np.bincount(sc, weights=cnt, minlength=n_src).astype(np.int64)
+        chars_sum = np.bincount(sc, weights=chars, minlength=n_src).astype(np.int64)
+
+        # distinct (source, lang) pairs seen in this partition
+        ordsl, sl_starts = _run_starts(sc, lc)
+        pls, pll = sc[ordsl][sl_starts], lc[ordsl][sl_starts]
+
+        src_all = pa.concat_arrays(
+            [svoc.take(pa.array(np.arange(n_src))).cast(pa.string()),
+             svoc.take(pa.array(pls)).cast(pa.string())]
+        )
+        lang_all = pa.concat_arrays(
+            [pa.nulls(n_src, pa.string()).fill_null(""),
+             lvoc.take(pa.array(pll)).cast(pa.string())]
+        )
+        role = np.r_[np.zeros(n_src, np.int8), np.ones(pls.size, np.int8)]
+        z = np.zeros(pls.size, np.int64)
+        return pa.table(
+            {
+                "source": src_all,
+                "lang": lang_all,
+                "role": pa.array(role),
+                "n_docs": pa.array(np.r_[n_docs, z]),
+                "chars_sum": pa.array(np.r_[chars_sum, z]),
+                "n_uniq": pa.array(np.r_[n_uniq.astype(np.int64), z]),
+                "spart": _spart(src_all),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _OUT_SCHEMA.empty_table()
+        sc, svoc = _codes(t["source"])
+        role = t["role"].to_numpy(zero_copy_only=False)
+        n_src = int(len(svoc))
+        agg = role == 0
+        n_docs = np.bincount(sc[agg], weights=t["n_docs"].to_numpy(zero_copy_only=False)[agg],
+                             minlength=n_src).astype(np.int64)
+        chars = np.bincount(sc[agg], weights=t["chars_sum"].to_numpy(zero_copy_only=False)[agg],
+                            minlength=n_src).astype(np.int64)
+        uniq = np.bincount(sc[agg], weights=t["n_uniq"].to_numpy(zero_copy_only=False)[agg],
+                           minlength=n_src).astype(np.int64)
+        # distinct langs per source across partitions
+        lcodes, _ = _codes(t["lang"])
+        lmask = role == 1
+        if lmask.any():
+            pair = np.unique(sc[lmask] * np.int64(max(lcodes.max() + 1, 1)) + lcodes[lmask])
+            n_langs = np.bincount(
+                (pair // np.int64(max(lcodes.max() + 1, 1))).astype(np.int64),
+                minlength=n_src,
+            ).astype(np.int64)
+        else:
+            n_langs = np.zeros(n_src, np.int64)
+        keep = n_docs > 0  # sources appear in this spart group only
+        srcs = svoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(n_docs[keep]),
+                "chars_total": pa.array(chars[keep]),
+                "n_langs": pa.array(n_langs[keep]),
+                "n_uniq_texts": pa.array(uniq[keep]),
+                "dup_docs": pa.array((n_docs - uniq)[keep]),
+            }
+        )
+
+    mid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    return mid.groupby("spart").map_groups(final, batch_format="pyarrow")

@@ -813,6 +813,25 @@ def q_mix_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_source_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus report — docs, chars, distinct langs, exact
+    duplication surplus. Content-hash-partitioned distinct counting
+    (partition-additive), per-source partials in a second slim shuffle;
+    the twin is the direct GROUP BY with COUNT(DISTINCT text)."""
+    from toshi_ray.ops.corpus import source_stats
+
+    rows = source_stats(_docs_ds(sf_dir)).take_all()
+    return (
+        pd.DataFrame(rows)[
+            ["source", "n_docs", "chars_total", "n_langs", "n_uniq_texts", "dup_docs"]
+        ]
+        .astype({c: "int64" for c in
+                 ("n_docs", "chars_total", "n_langs", "n_uniq_texts", "dup_docs")})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1234,6 +1253,16 @@ WHERE r < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
 ORDER BY doc_id
 """
 
+    sql["source_stats"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars_total,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_uniq_texts,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
     sql["quality"] = f"""
 WITH {TOKENS_CTE},
 v AS (
@@ -1351,6 +1380,7 @@ QUERIES = {
     "quality": q_quality,
     "repetition": q_repetition,
     "mix_sample": q_mix_sample,
+    "source_stats": q_source_stats,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

@@ -952,3 +952,33 @@ def test_source_stats_injected_dups_and_langs(ray_session):
             a["chars_total"]) == (3, 2, 1, 2, 10)
     assert (b["n_docs"], b["n_uniq_texts"], b["dup_docs"], b["n_langs"],
             b["chars_total"]) == (4, 2, 2, 2, 4)
+
+
+def test_tfidf_keywords_brute_force(ray_session):
+    """Rare term beats common term; ranks deterministic; ties broken
+    by term bytes; repartitioning (different df partials) is invariant."""
+    import math
+
+    import ray.data
+
+    from toshi_ray.ops.textstats import tfidf_keywords
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["common rare common zebra",
+                 "common common plain",
+                 "common plain plain"],
+    })
+    got = pd.DataFrame(tfidf_keywords(ray.data.from_arrow(t), k=2).take_all())
+    got = got.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # doc 0: rare/zebra df=1 idf=ln(4/2); common df=3 idf=ln(4/4)=0
+    idf1 = math.log(4 / 2)
+    assert got[got.doc_id == 0]["term"].tolist() == ["rare", "zebra"]  # tie → bytes
+    assert got[got.doc_id == 0]["score_x1e6"].tolist() == [
+        int(math.floor(1 * idf1 * 1e6))] * 2
+    # doc 1: plain (df=2) over common (idf 0)
+    assert got[got.doc_id == 1]["term"].tolist()[0] == "plain"
+    got2 = pd.DataFrame(
+        tfidf_keywords(ray.data.from_arrow(t).repartition(3), k=2).take_all()
+    ).sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)

@@ -240,6 +240,111 @@ def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id"):
+    """→ (doc_id, rank, term, score_x1e6): per-doc top-k TF-IDF
+    keywords, ``score = tf * ln((N+1)/(df+1))``, ties broken by term
+    bytes. The classic two-pass shape for corpus-weighted per-doc
+    scoring at scale:
+
+    1. **df pass**: per-batch distinct (doc, term) → partial df counts
+       → one slim term-level groupby (rows = vocab, not corpus).
+    2. **broadcast + score pass**: the (term → df) table is `ray.put`
+       once and every scoring task reads it zero-copy from the object
+       store — a broadcast lookup, NOT a per-doc join shuffle. Web-scale
+       vocabularies are O(10^7-10^8) terms ≈ a few GB — object-store
+       resident, far below corpus size.
+
+    Both passes stream; only the vocab-sized df table materializes.
+    The score doubles are the same IEEE expression the SQL twin
+    evaluates, so the integer-scaled output is hash-exact.
+    """
+    import ray
+
+    ds = ds.select_columns([id_col, col])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        codes, vocab = tc.term_ids()
+        v = max(len(vocab), 1)
+        if codes.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_p": pa.array([], pa.int64())})
+        uniq = np.unique(tc.doc_index.astype(np.int64) * v + codes)
+        cnt = np.bincount((uniq % v).astype(np.int64), minlength=v)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"term": vocab.take(pa.array(nz)).cast(pa.string()),
+             "df_p": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df_p")
+        .take_all()
+    )
+    n_total = ds.count()
+    terms_sorted = np.array(sorted(r["term"] for r in df_rows), dtype=object)
+    df_map = {r["term"]: int(r["sum(df_p)"]) for r in df_rows}
+    dfs = np.array([df_map[t] for t in terms_sorted], dtype=np.int64)
+    idf = np.log((n_total + 1.0) / (dfs + 1.0))
+    ref = ray.put((terms_sorted, idf))  # broadcast once, read per task
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_sorted, idf_b = ray.get(ref)
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        out_doc: list[np.ndarray] = []
+        out_rank: list[np.ndarray] = []
+        out_term: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        codes, vocab = tc.term_ids()
+        if codes.size:
+            # per-(doc, term) tf via code runs
+            v = max(len(vocab), 1)
+            key = tc.doc_index.astype(np.int64) * v + codes
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            tf = np.diff(np.r_[starts, ks.size]).astype(np.int64)
+            rdoc = (ks[starts] // v).astype(np.int64)
+            rcode = (ks[starts] % v).astype(np.int64)
+            # global idf lookup (terms all come from the corpus, so
+            # every batch term exists in the broadcast vocab)
+            vwords = np.asarray(vocab.to_pylist(), dtype=object)
+            pos = np.searchsorted(vocab_sorted, vwords)
+            sc = tf * idf_b[pos[rcode]]
+            # rank terms bytewise for the tie-break
+            srt = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+            rank = np.empty(len(vocab), np.int64)
+            rank[srt] = np.arange(len(vocab))
+            pick = np.lexsort((rank[rcode], -sc, rdoc))
+            rd = rdoc[pick]
+            first = np.flatnonzero(np.r_[True, rd[1:] != rd[:-1]])
+            within = np.arange(rd.size) - np.repeat(first, np.diff(np.r_[first, rd.size]))
+            keep = within < k
+            out_doc.append(rd[keep])
+            out_rank.append((within[keep] + 1).astype(np.int64))
+            out_term.append(vwords[rcode[pick][keep]])
+            out_score.append(np.floor(sc[pick][keep] * 1e6).astype(np.int64))
+        if not out_doc:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score_x1e6": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[out_doc[0]]),
+                "rank": pa.array(out_rank[0]),
+                "term": pa.array(out_term[0], type=pa.string()),
+                "score_x1e6": pa.array(out_score[0]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def fingerprint(ds, col: str = "text", id_col: str = "doc_id",
                 token_hash: str = "fast"):
     """→ (doc_id, fp): rolling polynomial hash over the token stream —

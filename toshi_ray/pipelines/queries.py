@@ -832,6 +832,26 @@ def q_source_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 TF-IDF keywords — corpus df via a vocab-sized
+    groupby, broadcast (ray.put) into the scoring pass; score doubles
+    are the same IEEE expression DuckDB evaluates, integer-scaled."""
+    from toshi_ray.ops.textstats import tfidf_keywords
+
+    rows = tfidf_keywords(_docs_ds(sf_dir), k=3).take_all()
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "term": pd.Series(dtype="object"),
+                             "score_x1e6": pd.Series(dtype="int64")})
+    return (
+        pd.DataFrame(rows)[["doc_id", "rank", "term", "score_x1e6"]]
+        .astype({"doc_id": "int64", "rank": "int64", "score_x1e6": "int64"})
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1253,6 +1273,23 @@ WHERE r < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
 ORDER BY doc_id
 """
 
+    sql["tfidf_keywords"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM idx GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM idx GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+              tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS s
+       FROM tf JOIN df USING (term), n),
+rn AS (SELECT doc_id, term, s,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+       FROM sc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(floor(s * 1000000.0) AS BIGINT) AS score_x1e6
+FROM rn WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
     sql["source_stats"] = """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1381,6 +1418,7 @@ QUERIES = {
     "repetition": q_repetition,
     "mix_sample": q_mix_sample,
     "source_stats": q_source_stats,
+    "tfidf_keywords": q_tfidf_keywords,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

@@ -982,3 +982,24 @@ def test_tfidf_keywords_brute_force(ray_session):
         tfidf_keywords(ray.data.from_arrow(t).repartition(3), k=2).take_all()
     ).sort_values(["doc_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_top_ngrams_exact_merge(ray_session):
+    """Per-partition top-k + driver merge must equal a global count:
+    counts split across partitions/batches still sum, ties break by
+    gram bytes."""
+    import ray.data
+
+    from toshi_ray.ops.corpus import top_ngrams
+
+    texts = ["a b a b", "a b c d", "c d c d", "b a b a"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    got = top_ngrams(ray.data.from_arrow(t).repartition(4), n=2, k=3)
+    # global counts: "a b"=4 ("a b a b" has 2 + 1 + ... ), compute manually:
+    from collections import Counter
+    c = Counter()
+    for txt in texts:
+        tk = txt.split()
+        c.update(f"{x} {y}" for x, y in zip(tk, tk[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["gram"].to_pylist(), got["cnt"].to_pylist())) == want

@@ -85,6 +85,87 @@ def _spart(source: pa.Array) -> pa.Array:
     )
 
 
+def top_ngrams(ds, *, n: int = 2, k: int = 20, col: str = "text"):
+    """→ (gram, cnt): the corpus's k most frequent word n-grams (count
+    desc, then gram bytes) — the table contamination checks and
+    boilerplate detectors key on.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    DISTINCT grams (map-side combine), a 64-way hash-partitioned
+    groupby sums them, each partition emits only its local top-k, and
+    the driver merges 64*k candidate rows — correct because a global
+    top-k member's total count lives entirely in one partition."""
+    import ray.data
+
+    from toshi_ray.ops.textstats import _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        codes = tc.terms.dictionary_encode()
+        rc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = codes.dictionary
+        doc = tc.doc_index.astype(np.int64)
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64())})
+        if rc.size < n:
+            return empty
+        m = np.ones(rc.size - (n - 1), dtype=bool)
+        for j in range(1, n):
+            m &= doc[j : rc.size - (n - 1) + j] == doc[: rc.size - (n - 1)]
+        if not m.any():
+            return empty
+        cols = [rc[j : rc.size - (n - 1) + j][m] for j in range(n)]
+        order, starts = _run_starts(*cols)
+        cnt = np.diff(np.r_[starts, cols[0].size]).astype(np.int64)
+        parts = [vocab.take(pa.array(c[order][starts])).cast(pa.string())
+                 for c in cols]
+        gram = parts[0]
+        for p in parts[1:]:
+            gram = pc.binary_join_element_wise(gram, p, " ")
+        return pa.table(
+            {
+                "gram": gram,
+                "cnt": pa.array(cnt),
+                "part": pa.array(
+                    (_mix(_hash_strings(gram)) % _U(N_PAIR_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        # rank grams bytewise for the tie-break
+        srt = pc.sort_indices(gvoc).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(gvoc), np.int64)
+        rank[srt] = np.arange(len(gvoc))
+        pick = np.lexsort((rank, -tot))[:k]
+        return pa.table(
+            {"gram": gvoc.take(pa.array(pick)).cast(pa.string()),
+             "cnt": pa.array(tot[pick])}
+        )
+
+    cand = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: local_topk(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    )
+    rows = cand.take_all()  # ≤ 64 * k rows
+    rows.sort(key=lambda r: (-r["cnt"], r["gram"]))
+    head = rows[:k]
+    return pa.table(
+        {"gram": pa.array([r["gram"] for r in head], pa.string()),
+         "cnt": pa.array([int(r["cnt"]) for r in head], pa.int64())}
+    )
+
+
 def source_stats(
     ds,
     *,

@@ -852,6 +852,16 @@ def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus top-20 word bigrams (count desc, gram bytes) — map-side
+    partial counts, hash-partitioned sum, per-partition top-k, driver
+    merge of 64*k candidates."""
+    from toshi_ray.ops.corpus import top_ngrams
+
+    t = top_ngrams(_docs_ds(sf_dir), n=2, k=20)
+    return t.to_pandas()
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1290,6 +1300,15 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank, term,
 FROM rn WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
+    sql["top_bigrams"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+big AS (SELECT a.doc_id, a.t || ' ' || b.t AS gram
+        FROM idx a JOIN idx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+g AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY gram)
+SELECT gram, cnt FROM g ORDER BY cnt DESC, gram LIMIT 20
+"""
+
     sql["source_stats"] = """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1419,6 +1438,7 @@ QUERIES = {
     "mix_sample": q_mix_sample,
     "source_stats": q_source_stats,
     "tfidf_keywords": q_tfidf_keywords,
+    "top_bigrams": q_top_bigrams,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

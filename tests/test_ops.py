@@ -1003,3 +1003,77 @@ def test_top_ngrams_exact_merge(ray_session):
         c.update(f"{x} {y}" for x, y in zip(tk, tk[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(got["gram"].to_pylist(), got["cnt"].to_pylist())) == want
+
+
+def _brute_dup_spans(texts, width):
+    """Reference: per-doc (n_spans, n_dup_spans) over raw token tuples."""
+    import re
+    from collections import Counter
+
+    toks = []
+    for txt in texts:
+        tk = [w.lower() for w in re.split(r"[^0-9A-Za-z]+", txt) if w and len(w) < 40]
+        toks.append(tk)
+    allspans = Counter()
+    per_doc = []
+    for tk in toks:
+        spans = [tuple(tk[i : i + width]) for i in range(len(tk) - width + 1)]
+        per_doc.append(spans)
+        allspans.update(spans)
+    out = {}
+    for i, spans in enumerate(per_doc):
+        if not spans:
+            continue
+        out[i] = (len(spans), sum(1 for s in spans if allspans[s] >= 2))
+    return out
+
+
+def test_dup_spans_matches_brute_force(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.dedup import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"intro one two {shared} tail words here",          # shares the 8-span
+        f"other prefix {shared} and a different suffix",    # shares the 8-span
+        "completely unrelated text with no duplicated span at all ok",
+        f"{shared} {shared}",                                # self-repeat counts
+        "short doc",                                         # < 8 tokens: no row
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    got = {
+        int(r["doc_id"]): (int(r["n_spans"]), int(r["n_dup_spans"]))
+        for r in dup_spans(ray.data.from_arrow(t).repartition(3), width=8).take_all()
+    }
+    assert got == _brute_dup_spans(texts, 8)
+    # batch layout must not change any count
+    got1 = {
+        int(r["doc_id"]): (int(r["n_spans"]), int(r["n_dup_spans"]))
+        for r in dup_spans(ray.data.from_arrow(t), width=8).take_all()
+    }
+    assert got1 == got
+
+
+def test_dup_span_drop_keeps_short_and_clean(ray_session):
+    import ray.data
+
+    from toshi_ray.ops.dedup import dup_span_drop
+
+    shared = "one two three four five six seven eight"
+    texts = [
+        f"{shared} unique tail a b c d e f g h i j k l m n o p",  # low dup frac
+        f"{shared}",   # 100% duplicated spans -> dropped
+        f"{shared}",   # 100% duplicated spans -> dropped
+        "tiny",        # < 8 tokens -> kept by definition
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    kept = sorted(
+        int(r["doc_id"])
+        for r in dup_span_drop(
+            ray.data.from_arrow(t).repartition(2), width=8, max_num=1, max_den=5
+        ).take_all()
+    )
+    assert kept == [0, 3]

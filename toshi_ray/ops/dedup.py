@@ -1268,3 +1268,137 @@ def dup_components(pairs, *, driver_cap: int = PAIR_DRIVER_CAP, max_rounds: int 
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) duplication — Lee et al. 2021 §4.1 "ExactSubstr"
+# ---------------------------------------------------------------------------
+# The suffix-array dedup of "Deduplicating Training Data Makes Language
+# Models Better", re-expressed for Ray Data: instead of one giant
+# suffix array, every WIDTH-token span is hashed with the derandomized
+# rolling polynomial (mod 2^31-1 — the same SQL-recomputable scheme as
+# the minhash oracle), spans co-locate by hash through the module's 64
+# coarse partitions, and a span is "duplicated" when its token sequence
+# occurs >= 2 times corpus-wide (within-doc repeats count, matching the
+# paper's suffix-array criterion). Shuffle payload is O(distinct spans
+# per doc) slim integer rows; text never moves.
+
+
+def dup_spans(ds, col: str = "text", id_col: str = "doc_id", *, width: int = 8):
+    """→ Dataset of (doc_id, n_spans, n_dup_spans) for every doc with at
+    least one `width`-token span.
+
+    Two slim shuffles: (1) span hashes co-locate by hash so corpus-wide
+    occurrence totals are exact per partition, emitting per-(partition,
+    doc) partial sums; (2) a tiny groupby(doc_id) adds the partials.
+    Collisions are not a correctness concern for the oracle comparison:
+    the SQL twin computes the identical hash, so both engines see the
+    same (rare) collision."""
+    from ray.data.aggregate import Sum
+
+    ds = ds.select_columns([id_col, col])
+
+    part_schema = pa.schema(
+        [("h", pa.int64()), ("doc_id", pa.int64()), ("c", pa.int64()),
+         ("part", pa.int64())]
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        an = DefaultAnalyzer()
+        tc = an.tokenize_column(t[col].combine_chunks())
+        h, offs = _shingle_hashes(tc, t.num_rows, width, token_hash="sql")
+        if h.size == 0:
+            return part_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, doc_of))
+        hs, dx = h[order], doc_of[order]
+        new = np.ones(hs.size, bool)
+        new[1:] = (dx[1:] != dx[:-1]) | (hs[1:] != hs[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.r_[starts, hs.size]).astype(np.int64)
+        hh = hs[starts]
+        return pa.table(
+            {
+                "h": pa.array(hh),
+                "doc_id": pa.array(ids[dx[starts]]),
+                "c": pa.array(c),
+                "part": pa.array((_mix(hh.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    red_schema = pa.schema(
+        [("doc_id", pa.int64()), ("sp", pa.int64()), ("dp", pa.int64())]
+    )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        # all rows of a hash live in this partition → the per-hash total
+        # is corpus-global; fold into per-doc partials before the second
+        # (tiny) shuffle
+        if t.num_rows == 0:
+            return red_schema.empty_table()
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, dsx, cs = h[order], d[order], c[order]
+        new = np.ones(hs.size, bool)
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cs, starts)
+        run_id = np.cumsum(new) - 1
+        dup_row = tot[run_id] >= 2
+        docs, inv = np.unique(dsx, return_inverse=True)
+        sp = np.bincount(inv, weights=cs, minlength=docs.size).astype(np.int64)
+        dp = np.bincount(
+            inv[dup_row], weights=cs[dup_row], minlength=docs.size
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(docs), "sp": pa.array(sp), "dp": pa.array(dp)}
+        )
+
+    out = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum(on="sp", alias_name="n_spans"),
+                   Sum(on="dp", alias_name="n_dup_spans"))
+    )
+    return out.select_columns(["doc_id", "n_spans", "n_dup_spans"])
+
+
+def dup_span_drop(ds, col: str = "text", id_col: str = "doc_id", *,
+                  width: int = 8, max_num: int = 1, max_den: int = 5):
+    """→ Dataset of surviving (doc_id): docs whose duplicated-span
+    fraction is <= max_num/max_den (compared by integer cross-
+    multiplication — no float threshold to drift between engines).
+    Docs too short to have any span survive by definition."""
+    stats = dup_spans(ds, col, id_col, width=width)
+
+    def keep(t: pa.Table) -> pa.Table:
+        sp = t["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dp = t["n_dup_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = dp * max_den <= sp * max_num
+        return pa.table(
+            {id_col: t[id_col].combine_chunks().cast(pa.int64()).filter(pa.array(m))}
+        )
+
+    kept = stats.map_batches(keep, batch_format="pyarrow")
+    # docs with zero spans never entered the hash pipeline — union them
+    # back (their dup fraction is vacuously 0)
+    import ray.data  # noqa: F401
+
+    def short_ids(t: pa.Table) -> pa.Table:
+        an = DefaultAnalyzer()
+        tc = an.tokenize_column(t[col].combine_chunks())
+        n_tok = np.bincount(tc.doc_index, minlength=t.num_rows)
+        m = n_tok < width
+        return pa.table(
+            {id_col: t[id_col].combine_chunks().cast(pa.int64()).filter(pa.array(m))}
+        )
+
+    short = ds.select_columns([id_col, col]).map_batches(
+        short_ids, batch_format="pyarrow"
+    )
+    return kept.union(short)

@@ -862,6 +862,37 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact substring duplication (Lee et al. ExactSubstr re-expressed):
+    per-doc total and duplicated 8-token-span counts. The derandomized
+    rolling hash lets the DuckDB oracle recompute every span hash and
+    corpus-wide occurrence total value-for-value."""
+    from toshi_ray.ops.dedup import dup_spans
+
+    rows = dup_spans(_docs_ds(sf_dir), width=8).take_all()
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "n_spans", "n_dup_spans"])
+        .astype({"doc_id": "int64", "n_spans": "int64", "n_dup_spans": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_dup_span_drop(sf_dir: str) -> pd.DataFrame:
+    """The actionable variant: doc_ids whose duplicated-span fraction is
+    <= 1/5 (integer cross-multiplication — no float threshold), docs too
+    short for any span surviving by definition."""
+    from toshi_ray.ops.dedup import dup_span_drop
+
+    rows = dup_span_drop(_docs_ds(sf_dir), width=8, max_num=1, max_den=5).take_all()
+    return (
+        pd.DataFrame(rows, columns=["doc_id"])
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1309,6 +1340,38 @@ g AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY gram)
 SELECT gram, cnt FROM g ORDER BY cnt DESC, gram LIMIT 20
 """
 
+    # exact substring duplication: rolling 8-token polynomial span hash
+    # (identical Horner fold to the engine's sql-mode shingle hash), a
+    # span is duplicated when its hash occurs >= 2 times corpus-wide
+    _DUP_SPAN_CTES = f"""{TOKENS_CTE},
+th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
+sp AS (SELECT doc_id,
+         list_transform(range(1, len(th) - 6),
+           i -> list_reduce(list_slice(th, i, i + 7),
+                            (a, b) -> (a * 1000003 + b) % 2147483647)) AS hs
+       FROM th WHERE len(th) >= 8),
+flat AS (SELECT doc_id, unnest(hs) AS h FROM sp),
+cnt AS (SELECT h, doc_id, count(*) AS c FROM flat GROUP BY h, doc_id),
+tot AS (SELECT h, sum(c) AS tc FROM cnt GROUP BY h),
+per AS (SELECT c.doc_id, sum(c.c) AS n_spans,
+               sum(CASE WHEN t.tc >= 2 THEN c.c ELSE 0 END) AS n_dup_spans
+        FROM cnt c JOIN tot t USING (h) GROUP BY c.doc_id)"""
+
+    sql["dup_spans"] = f"""
+WITH {_DUP_SPAN_CTES}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup_spans AS BIGINT) AS n_dup_spans
+FROM per ORDER BY doc_id
+"""
+
+    sql["dup_span_drop"] = f"""
+WITH {_DUP_SPAN_CTES},
+kept AS (SELECT doc_id FROM per WHERE n_dup_spans * 5 <= n_spans * 1
+         UNION ALL
+         SELECT doc_id FROM toks WHERE len(tk) < 8)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept ORDER BY doc_id
+"""
+
     sql["source_stats"] = """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1439,6 +1502,8 @@ QUERIES = {
     "source_stats": q_source_stats,
     "tfidf_keywords": q_tfidf_keywords,
     "top_bigrams": q_top_bigrams,
+    "dup_spans": q_dup_spans,
+    "dup_span_drop": q_dup_span_drop,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

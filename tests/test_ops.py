@@ -1077,3 +1077,54 @@ def test_dup_span_drop_keeps_short_and_clean(ray_session):
         ).take_all()
     )
     assert kept == [0, 3]
+
+
+def test_winnow_matches_brute_force(ray_session):
+    """Window-min fingerprint SET per doc equals a per-doc Python
+    reference over the same derandomized hashes."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.textstats import winnow
+
+    M = 2147483647
+
+    def tok_hash(t):
+        h = 0
+        for ch in t:
+            h = (h * 257 + ord(ch)) % M
+        return h
+
+    def brute(txt, k=5, window=4):
+        tk = [w.lower() for w in re.split(r"[^0-9A-Za-z]+", txt) if w and len(w) < 40]
+        th = [tok_hash(t) for t in tk]
+        hs = []
+        for i in range(len(th) - k + 1):
+            h = th[i]
+            for j in range(1, k):
+                h = (h * 1000003 + th[i + j]) % M
+            hs.append(h)
+        if not hs:
+            return None
+        if len(hs) >= window:
+            fp = {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+        else:
+            fp = {min(hs)}
+        return (len(hs), len(fp), sum(fp))
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again and again",
+        "a b c d e",            # exactly one shingle -> short-doc path
+        "a b c d e f g",        # 3 shingles < window
+        "tiny",                 # no shingle -> no row
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = {
+        int(r["doc_id"]): (int(r["n_grams"]), int(r["n_fp"]), int(r["fp_sum"]))
+        for r in winnow(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    want = {i: brute(txt) for i, txt in enumerate(texts) if brute(txt) is not None}
+    assert got == want

@@ -386,3 +386,79 @@ def fingerprint(ds, col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: t[id_col], "fp": pa.array(out)})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def winnow(ds, col: str = "text", id_col: str = "doc_id", *,
+           k: int = 5, window: int = 4):
+    """→ Dataset of (doc_id, n_grams, n_fp, fp_sum): winnowing document
+    fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS local
+    fingerprinting scheme). Per doc: k-token rolling polynomial shingle
+    hashes (the derandomized mod-2^31-1 scheme, SQL-recomputable); every
+    window of `window` consecutive hashes selects its MINIMUM value; the
+    fingerprint set is the distinct selected values. Docs with fewer
+    than `window` hashes contribute min(hashes) (winnowing's guarantee:
+    every doc with >= k tokens yields >= 1 fingerprint).
+
+    Map-only (zero shuffle): n_fp bounds ~2/(window+1) of positions in
+    expectation, fp_sum is an order-free set checksum (each value
+    < 2^31, so any realistic doc stays far from BIGINT overflow).
+    """
+    from toshi_ray.ops.dedup import _shingle_hashes
+
+    ds = ds.select_columns([id_col, col])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("n_fp", pa.int64()), ("fp_sum", pa.int64())]
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        h, offs = _shingle_hashes(tc, t.num_rows, k, token_hash="sql")
+        if h.size == 0:
+            return out_schema.empty_table()
+        counts = np.diff(offs)
+        n_docs = t.num_rows
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        sel_doc_parts, sel_val_parts = [], []
+        if h.size >= window:
+            # global sliding min, then keep only windows that sit fully
+            # inside one doc (start and end share a doc index)
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = sw.min(axis=1)
+            starts = np.arange(mins.size)
+            valid = doc_of[starts] == doc_of[starts + window - 1]
+            sel_doc_parts.append(doc_of[starts[valid]])
+            sel_val_parts.append(mins[valid])
+        shorts = np.flatnonzero((counts > 0) & (counts < window))
+        if shorts.size:
+            # reduceat segments must be CONSECUTIVE nonempty-doc starts
+            # (a short-docs-only index list would reduce each segment to
+            # the next short doc's start, swallowing neighbours' hashes)
+            nonempty = np.flatnonzero(counts > 0)
+            mins_all = np.minimum.reduceat(h, offs[:-1][nonempty])
+            pick = counts[nonempty] < window
+            sel_doc_parts.append(nonempty[pick])
+            sel_val_parts.append(mins_all[pick])
+        sel_doc = np.concatenate(sel_doc_parts) if sel_doc_parts else np.empty(0, np.int64)
+        sel_val = np.concatenate(sel_val_parts) if sel_val_parts else np.empty(0, np.int64)
+        # distinct (doc, value) then per-doc count + sum
+        order = np.lexsort((sel_val, sel_doc))
+        d_s, v_s = sel_doc[order], sel_val[order]
+        first = np.ones(d_s.size, bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        d_u, v_u = d_s[first], v_s[first]
+        n_fp = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+        fp_sum = np.zeros(n_docs, np.int64)
+        np.add.at(fp_sum, d_u, v_u)
+        has = counts > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has]),
+                "n_grams": pa.array(counts[has].astype(np.int64)),
+                "n_fp": pa.array(n_fp[has]),
+                "fp_sum": pa.array(fp_sum[has]),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

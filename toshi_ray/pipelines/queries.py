@@ -862,6 +862,20 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_winnow(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints (MOSS): per-doc k=5-token shingle hashes,
+    window-4 minima, distinct-set size + checksum. Map-only."""
+    from toshi_ray.ops.textstats import winnow
+
+    rows = winnow(_docs_ds(sf_dir), k=5, window=4).take_all()
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_fp", "fp_sum"])
+        .astype({c: "int64" for c in ["doc_id", "n_grams", "n_fp", "fp_sum"]})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_dup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact substring duplication (Lee et al. ExactSubstr re-expressed):
     per-doc total and duplicated 8-token-span counts. The derandomized
@@ -1364,6 +1378,29 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    # winnowing: 5-token rolling span hash, window-4 minima, distinct
+    # fingerprint set per doc (docs with < 4 spans contribute min(hs))
+    sql["winnow"] = f"""
+WITH {TOKENS_CTE},
+th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
+sp AS (SELECT doc_id,
+         list_transform(range(1, len(th) - 3),
+           i -> list_reduce(list_slice(th, i, i + 4),
+                            (a, b) -> (a * 1000003 + b) % 2147483647)) AS hs
+       FROM th WHERE len(th) >= 5),
+w AS (SELECT doc_id, len(hs) AS n_grams,
+        list_distinct(CASE WHEN len(hs) >= 4
+          THEN list_transform(range(1, len(hs) - 2),
+                 i -> list_reduce(list_slice(hs, i, i + 3),
+                                  (a, b) -> least(a, b)))
+          ELSE [list_aggregate(hs, 'min')] END) AS fp
+      FROM sp)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fp) AS BIGINT) AS n_fp,
+       CAST(list_aggregate(fp, 'sum') AS BIGINT) AS fp_sum
+FROM w ORDER BY doc_id
+"""
+
     sql["dup_span_drop"] = f"""
 WITH {_DUP_SPAN_CTES},
 kept AS (SELECT doc_id FROM per WHERE n_dup_spans * 5 <= n_spans * 1
@@ -1503,6 +1540,7 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "top_bigrams": q_top_bigrams,
     "dup_spans": q_dup_spans,
+    "winnow": q_winnow,
     "dup_span_drop": q_dup_span_drop,
     "lang_id": q_lang_id,
     "events_window": q_events_window,

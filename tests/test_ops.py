@@ -1128,3 +1128,50 @@ def test_winnow_matches_brute_force(ray_session):
     }
     want = {i: brute(txt) for i, txt in enumerate(texts) if brute(txt) is not None}
     assert got == want
+
+
+def test_collocations_brute_force(ray_session):
+    """PMI top-k equals a pandas reference computed from global counts;
+    repartitioning must not change anything."""
+    import ray.data
+
+    from toshi_ray.ops.corpus import collocations
+
+    rng_texts = [
+        "strong coffee strong coffee strong coffee",
+        "black coffee and strong tea every day",
+        "new york new york new york city",
+        "the city of new york is big",
+        "every day the big dog runs",
+        "strong coffee in new york every day",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(rng_texts)), pa.int64()),
+                  "text": pa.array(rng_texts)})
+    got = collocations(
+        ray.data.from_arrow(t).repartition(3), k=5, min_count=2
+    ).to_pandas()
+
+    # brute force
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for txt in rng_texts:
+        tk = txt.split()
+        uni.update(tk)
+        big.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    N = float(sum(uni.values()))
+    rows = []
+    for gram, cnt in big.items():
+        if cnt < 2:
+            continue
+        a, b = gram.split(" ")
+        pmi = np.log((np.float64(cnt) * N) / (np.float64(uni[a]) * np.float64(uni[b])))
+        rows.append((gram, cnt, uni[a], uni[b], pmi))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    want = pd.DataFrame(
+        [(g, c, ca, cb, int(np.floor(p * 1000000.0))) for g, c, ca, cb, p in rows[:5]],
+        columns=["gram", "cnt", "cnt_a", "cnt_b", "pmi_x1e6"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in ["cnt", "cnt_a", "cnt_b", "pmi_x1e6"]}),
+        want.astype({c: "int64" for c in ["cnt", "cnt_a", "cnt_b", "pmi_x1e6"]}),
+    )

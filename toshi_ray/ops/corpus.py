@@ -85,6 +85,45 @@ def _spart(source: pa.Array) -> pa.Array:
     )
 
 
+def _ngram_partial(t: pa.Table, col: str, n: int) -> pa.Table:
+    """Per-batch DISTINCT n-gram partial counts (the map-side combiner
+    shared by `top_ngrams` and `collocations`): → (gram, cnt, part)."""
+    from toshi_ray.ops.textstats import _tokenize
+
+    tc = _tokenize(t, col)
+    codes = tc.terms.dictionary_encode()
+    rc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = codes.dictionary
+    doc = tc.doc_index.astype(np.int64)
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "part": pa.array([], pa.int64())})
+    if rc.size < n:
+        return empty
+    m = np.ones(rc.size - (n - 1), dtype=bool)
+    for j in range(1, n):
+        m &= doc[j : rc.size - (n - 1) + j] == doc[: rc.size - (n - 1)]
+    if not m.any():
+        return empty
+    cols = [rc[j : rc.size - (n - 1) + j][m] for j in range(n)]
+    order, starts = _run_starts(*cols)
+    cnt = np.diff(np.r_[starts, cols[0].size]).astype(np.int64)
+    parts = [vocab.take(pa.array(c[order][starts])).cast(pa.string())
+             for c in cols]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = pc.binary_join_element_wise(gram, p, " ")
+    return pa.table(
+        {
+            "gram": gram,
+            "cnt": pa.array(cnt),
+            "part": pa.array(
+                (_mix(_hash_strings(gram)) % _U(N_PAIR_PARTS)).astype(np.int64)
+            ),
+        }
+    )
+
+
 def top_ngrams(ds, *, n: int = 2, k: int = 20, col: str = "text"):
     """→ (gram, cnt): the corpus's k most frequent word n-grams (count
     desc, then gram bytes) — the table contamination checks and
@@ -97,41 +136,8 @@ def top_ngrams(ds, *, n: int = 2, k: int = 20, col: str = "text"):
     top-k member's total count lives entirely in one partition."""
     import ray.data
 
-    from toshi_ray.ops.textstats import _tokenize
-
     def partial(t: pa.Table) -> pa.Table:
-        tc = _tokenize(t, col)
-        codes = tc.terms.dictionary_encode()
-        rc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = codes.dictionary
-        doc = tc.doc_index.astype(np.int64)
-        empty = pa.table({"gram": pa.array([], pa.string()),
-                          "cnt": pa.array([], pa.int64()),
-                          "part": pa.array([], pa.int64())})
-        if rc.size < n:
-            return empty
-        m = np.ones(rc.size - (n - 1), dtype=bool)
-        for j in range(1, n):
-            m &= doc[j : rc.size - (n - 1) + j] == doc[: rc.size - (n - 1)]
-        if not m.any():
-            return empty
-        cols = [rc[j : rc.size - (n - 1) + j][m] for j in range(n)]
-        order, starts = _run_starts(*cols)
-        cnt = np.diff(np.r_[starts, cols[0].size]).astype(np.int64)
-        parts = [vocab.take(pa.array(c[order][starts])).cast(pa.string())
-                 for c in cols]
-        gram = parts[0]
-        for p in parts[1:]:
-            gram = pc.binary_join_element_wise(gram, p, " ")
-        return pa.table(
-            {
-                "gram": gram,
-                "cnt": pa.array(cnt),
-                "part": pa.array(
-                    (_mix(_hash_strings(gram)) % _U(N_PAIR_PARTS)).astype(np.int64)
-                ),
-            }
-        )
+        return _ngram_partial(t, col, n)
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -296,3 +302,115 @@ def source_stats(
         .map_groups(reduce_part, batch_format="pyarrow")
     )
     return mid.groupby("spart").map_groups(final, batch_format="pyarrow")
+
+
+def collocations(ds, *, k: int = 30, min_count: int = 5, col: str = "text"):
+    """→ (gram, cnt, cnt_a, cnt_b, pmi_x1e6): the corpus's k strongest
+    two-word collocations by pointwise mutual information, among bigrams
+    with count >= min_count (the classic Church & Hanks 1990 measure —
+    what phrase-mining and tokenizer-vocab pipelines rank on).
+
+    Scale shape: the unigram count table (Zipf-bounded vocabulary) is
+    gathered once and BROADCAST via ray.put; bigram partials hash-
+    partition 64 ways exactly like `top_ngrams`, so each partition owns
+    its grams' global counts, computes PMI locally against the broadcast
+    table, and emits only its local top-k — the driver merges 64*k
+    candidate rows. PMI doubles are bit-deterministic: both engines
+    evaluate ln((cnt*N)/(cnt_a*cnt_b)) over the same IEEE doubles.
+    """
+    import ray
+    import ray.data
+
+    from toshi_ray.ops.textstats import _tokenize
+
+    # pass 1: unigram counts (map-side combine -> 64-way sum). The
+    # result is vocabulary-sized (Zipf: ~10^7 entries at web scale,
+    # ~100 MB as two arrays — broadcastable).
+    def uni_partial(t: pa.Table) -> pa.Table:
+        return _ngram_partial(t, col, 1)
+
+    def uni_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
+
+    uni_rows = (
+        ds.select_columns([col])
+        .map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: uni_sum(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    words = np.array([r["gram"] for r in uni_rows])
+    wcnt = np.array([int(r["cnt"]) for r in uni_rows], dtype=np.int64)
+    order = np.argsort(words)
+    words, wcnt = words[order], wcnt[order]
+    total = int(wcnt.sum())
+    ref = ray.put((words, wcnt))
+
+    out_schema = pa.schema(
+        [("gram", pa.string()), ("cnt", pa.int64()), ("cnt_a", pa.int64()),
+         ("cnt_b", pa.int64()), ("pmi", pa.float64())]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        keep = tot >= min_count
+        if not keep.any():
+            return out_schema.empty_table()
+        gsel = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
+        tot = tot[keep]
+        w, c = ray.get(ref)
+        halves = pc.split_pattern(gsel, " ")
+        wa = pc.list_element(halves, 0).to_numpy(zero_copy_only=False)
+        wb = pc.list_element(halves, 1).to_numpy(zero_copy_only=False)
+        ca = c[np.searchsorted(w, wa)]
+        cb = c[np.searchsorted(w, wb)]
+        pmi = np.log((tot.astype(np.float64) * float(total))
+                     / (ca.astype(np.float64) * cb.astype(np.float64)))
+        # local top-k by (pmi desc, gram bytes) — gram counts are global
+        # within this partition, so merging per-partition top-ks is exact
+        srt = pc.sort_indices(gsel).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(gsel), np.int64)
+        rank[srt] = np.arange(len(gsel))
+        pick = np.lexsort((rank, -pmi))[:k]
+        return pa.table(
+            {
+                "gram": gsel.take(pa.array(pick)),
+                "cnt": pa.array(tot[pick]),
+                "cnt_a": pa.array(ca[pick]),
+                "cnt_b": pa.array(cb[pick]),
+                "pmi": pa.array(pmi[pick]),
+            }
+        )
+
+    cand = (
+        ds.select_columns([col])
+        .map_batches(lambda t: _ngram_partial(t, col, 2), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: local_topk(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    )
+    rows = cand.take_all()  # <= 64 * k rows
+    rows.sort(key=lambda r: (-r["pmi"], r["gram"]))
+    head = rows[:k]
+    return pa.table(
+        {
+            "gram": pa.array([r["gram"] for r in head], pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in head], pa.int64()),
+            "cnt_a": pa.array([int(r["cnt_a"]) for r in head], pa.int64()),
+            "cnt_b": pa.array([int(r["cnt_b"]) for r in head], pa.int64()),
+            "pmi_x1e6": pa.array(
+                [int(np.floor(r["pmi"] * 1000000.0)) for r in head], pa.int64()
+            ),
+        }
+    )

@@ -862,6 +862,15 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-30 two-word collocations by PMI among bigrams with count >= 5
+    (Church & Hanks). Unigram table broadcast, per-partition top-k."""
+    from toshi_ray.ops.corpus import collocations
+
+    t = collocations(_docs_ds(sf_dir), k=30, min_count=5)
+    return t.to_pandas()
+
+
 def q_winnow(sf_dir: str) -> pd.DataFrame:
     """Winnowing fingerprints (MOSS): per-doc k=5-token shingle hashes,
     window-4 minima, distinct-set size + checksum. Map-only."""
@@ -1378,6 +1387,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    # PMI collocations: ln((cnt*N)/(cnt_a*cnt_b)) over the same IEEE
+    # doubles on both engines (multiplication order mirrored exactly)
+    sql["collocations"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+big AS (SELECT a.t AS w1, b.t AS w2, a.t || ' ' || b.t AS gram
+        FROM idx a JOIN idx b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+g AS (SELECT gram, min(w1) AS w1, min(w2) AS w2, count(*) AS cnt
+      FROM big GROUP BY gram HAVING count(*) >= 5),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM idx GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM idx),
+p AS (SELECT g.gram, g.cnt, ua.c AS cnt_a, ub.c AS cnt_b,
+        ln((g.cnt * 1.0 * tot.n) / (ua.c * 1.0 * ub.c)) AS pmi
+      FROM g JOIN uni ua ON ua.t = g.w1 JOIN uni ub ON ub.t = g.w2, tot)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt, CAST(cnt_a AS BIGINT) AS cnt_a,
+       CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(floor(pmi * 1000000.0) AS BIGINT) AS pmi_x1e6
+FROM p ORDER BY pmi DESC, gram LIMIT 30
+"""
+
     # winnowing: 5-token rolling span hash, window-4 minima, distinct
     # fingerprint set per doc (docs with < 4 spans contribute min(hs))
     sql["winnow"] = f"""
@@ -1541,6 +1570,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "dup_spans": q_dup_spans,
     "winnow": q_winnow,
+    "collocations": q_collocations,
     "dup_span_drop": q_dup_span_drop,
     "lang_id": q_lang_id,
     "events_window": q_events_window,

@@ -1175,3 +1175,34 @@ def test_collocations_brute_force(ray_session):
         got.astype({c: "int64" for c in ["cnt", "cnt_a", "cnt_b", "pmi_x1e6"]}),
         want.astype({c: "int64" for c in ["cnt", "cnt_a", "cnt_b", "pmi_x1e6"]}),
     )
+
+
+def test_length_stats_exact_percentiles(ray_session):
+    """Histogram-derived percentiles equal a direct sorted-array lookup,
+    including the degenerate all-equal and single-doc cases."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.corpus import length_stats
+
+    def brute(texts):
+        lens = sorted(
+            len([w for w in re.split(r"[^0-9A-Za-z]+", t.lower()) if w and len(w) < 40])
+            for t in texts
+        )
+        n = len(lens)
+
+        def pct(num, den):
+            thr = (n * num + den - 1) // den
+            return lens[thr - 1]
+
+        return (n, sum(lens), pct(1, 2), pct(9, 10), pct(99, 100), lens[-1])
+
+    texts = ["one two three", "a b", "x " * 50, "single", "a b c d e f g", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = length_stats(ray.data.from_arrow(t).repartition(3)).to_pandas().iloc[0]
+    want = brute(texts)
+    assert (int(got["n_docs"]), int(got["total_tokens"]), int(got["p50"]),
+            int(got["p90"]), int(got["p99"]), int(got["max_tokens"])) == want

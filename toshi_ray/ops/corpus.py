@@ -414,3 +414,72 @@ def collocations(ds, *, k: int = 30, min_count: int = 5, col: str = "text"):
             ),
         }
     )
+
+
+def length_stats(ds, *, col: str = "text"):
+    """→ one-row table (n_docs, total_tokens, p50, p90, p99, max_tokens):
+    the corpus length distribution every data-mixing / truncation policy
+    is tuned against. Percentile q = the smallest length whose cumulative
+    doc count reaches ceil(q * n_docs), computed with INTEGER thresholds
+    ((n*9 + 9) // 10 etc.) so no float quantile semantics can diverge
+    between engines.
+
+    Scale shape: per-batch length histograms (map-side combine) shuffle
+    as (L, c) rows — O(distinct lengths) per batch, not O(docs) — a
+    64-way partitioned sum folds them, and the driver merges a histogram
+    bounded by the longest document, never the corpus."""
+    import ray.data  # noqa: F401
+
+    from toshi_ray.ops.textstats import _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n_tok = np.bincount(tc.doc_index, minlength=t.num_rows).astype(np.int64)
+        ls, cs = np.unique(n_tok, return_counts=True)
+        return pa.table(
+            {
+                "L": pa.array(ls),
+                "c": pa.array(cs.astype(np.int64)),
+                "part": pa.array((_mix(ls.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"L": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        L = t["L"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls, inv = np.unique(L, return_inverse=True)
+        cs = np.bincount(inv, weights=c, minlength=ls.size).astype(np.int64)
+        return pa.table({"L": pa.array(ls), "c": pa.array(cs)})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: fold(t.drop_columns(["part"])), batch_format="pyarrow")
+        .take_all()
+    )
+    L = np.array([int(r["L"]) for r in rows], dtype=np.int64)
+    c = np.array([int(r["c"]) for r in rows], dtype=np.int64)
+    order = np.argsort(L)
+    L, c = L[order], c[order]
+    n_docs = int(c.sum())
+    total = int((L * c).sum())
+    cum = np.cumsum(c)
+
+    def pct(num: int, den: int) -> int:
+        thr = (n_docs * num + den - 1) // den
+        return int(L[np.searchsorted(cum, thr)])
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "p50": pa.array([pct(1, 2)], pa.int64()),
+            "p90": pa.array([pct(9, 10)], pa.int64()),
+            "p99": pa.array([pct(99, 100)], pa.int64()),
+            "max_tokens": pa.array([int(L[-1])], pa.int64()),
+        }
+    )

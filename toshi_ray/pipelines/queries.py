@@ -862,6 +862,14 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_length_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus token-length distribution: exact percentiles from an
+    additive histogram with integer thresholds."""
+    from toshi_ray.ops.corpus import length_stats
+
+    return length_stats(_docs_ds(sf_dir)).to_pandas()
+
+
 def q_collocations(sf_dir: str) -> pd.DataFrame:
     """Top-30 two-word collocations by PMI among bigrams with count >= 5
     (Church & Hanks). Unigram table broadcast, per-partition top-k."""
@@ -1387,6 +1395,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    # length distribution: percentile thresholds in INTEGER arithmetic
+    # ((n*q_num + q_den - 1) // q_den) — float quantile semantics never
+    # enter the comparison
+    sql["length_stats"] = f"""
+WITH {TOKENS_CTE},
+lens AS (SELECT len(tk) AS L FROM toks),
+h AS (SELECT L, count(*) AS c FROM lens GROUP BY L),
+cum AS (SELECT L, c, sum(c) OVER (ORDER BY L) AS cc FROM h),
+s AS (SELECT count(*) AS n_docs, sum(L) AS total_tokens, max(L) AS max_tokens FROM lens)
+SELECT CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.total_tokens AS BIGINT) AS total_tokens,
+       CAST((SELECT min(L) FROM cum WHERE cc >= (s.n_docs + 1) // 2) AS BIGINT) AS p50,
+       CAST((SELECT min(L) FROM cum WHERE cc >= (s.n_docs * 9 + 9) // 10) AS BIGINT) AS p90,
+       CAST((SELECT min(L) FROM cum WHERE cc >= (s.n_docs * 99 + 99) // 100) AS BIGINT) AS p99,
+       CAST(s.max_tokens AS BIGINT) AS max_tokens
+FROM s
+"""
+
     # PMI collocations: ln((cnt*N)/(cnt_a*cnt_b)) over the same IEEE
     # doubles on both engines (multiplication order mirrored exactly)
     sql["collocations"] = f"""
@@ -1571,6 +1597,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "winnow": q_winnow,
     "collocations": q_collocations,
+    "length_stats": q_length_stats,
     "dup_span_drop": q_dup_span_drop,
     "lang_id": q_lang_id,
     "events_window": q_events_window,

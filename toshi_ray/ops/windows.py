@@ -104,12 +104,15 @@ def session_window_agg(
             brk[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_secs * 1_000_000)
         starts = np.nonzero(brk)[0]
         bounds = np.concatenate([starts, [len(g)]])
-        return pd.DataFrame(
+        # return ARROW, not pandas: a pandas output block makes any
+        # downstream row access (take_all and friends) fall into
+        # per-row DataFrame.__getitem__ — 4 ms/row on the driver
+        return pa.table(
             {
-                key_col: k[starts],
-                "session_start_us": ts[starts],
-                "n": np.diff(bounds).astype(np.int64),
-                "sum_value_x1e3": np.add.reduceat(v, starts),
+                key_col: pa.array(k[starts]),
+                "session_start_us": pa.array(ts[starts]),
+                "n": pa.array(np.diff(bounds).astype(np.int64)),
+                "sum_value_x1e3": pa.array(np.add.reduceat(v, starts)),
             }
         )
 

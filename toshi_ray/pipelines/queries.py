@@ -960,8 +960,9 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.windows import session_window_agg
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    rows = session_window_agg(ds, gap_secs=1800).take_all()
-    df = pd.DataFrame(rows)
+    # to_pandas: one vectorized Arrow->pandas conversion of the (small)
+    # result — take_all() would iterate rows one by one on the driver
+    df = session_window_agg(ds, gap_secs=1800).to_pandas()
     return (
         df.astype({"user_id": "int64", "session_start_us": "int64",
                    "n": "int64", "sum_value_x1e3": "int64"})

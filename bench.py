@@ -192,6 +192,12 @@ def bench_ops() -> dict[str, float]:
     t0 = time.perf_counter()
     embedding_near_dup_pairs(emb, threshold=0.3, n_planes=8).count()
     out["embed_near_dup"] = round(time.perf_counter() - t0, 3)
+
+    from toshi_ray.ops.dedup import dup_spans
+
+    t0 = time.perf_counter()
+    dup_spans(docs, width=8).count()
+    out["dup_spans"] = round(time.perf_counter() - t0, 3)
     return out
 
 

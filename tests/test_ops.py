@@ -1206,3 +1206,43 @@ def test_length_stats_exact_percentiles(ray_session):
     want = brute(texts)
     assert (int(got["n_docs"]), int(got["total_tokens"]), int(got["p50"]),
             int(got["p90"]), int(got["p99"]), int(got["max_tokens"])) == want
+
+
+def test_lm_surprisal_brute_force(ray_session):
+    """Integer-quantized unigram surprisal equals a per-doc Python
+    reference; rare tokens must score higher than common ones."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.textstats import lm_surprisal
+
+    texts = [
+        "the the the the rare",
+        "the common words here",
+        "zyzzyva qwertyish",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = {
+        int(r["doc_id"]): (int(r["n_tok"]), int(r["surprisal_x1e3"]), int(r["mean_x1e3"]))
+        for r in lm_surprisal(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+
+    from collections import Counter
+    toks = [
+        [w for w in re.split(r"[^0-9a-z]+", txt.lower()) if w and len(w) < 40]
+        for txt in texts
+    ]
+    uni = Counter(w for tk in toks for w in tk)
+    N = float(sum(uni.values()))
+    want = {}
+    for i, tk in enumerate(toks):
+        if not tk:
+            continue
+        s = sum(int(np.floor(np.log(N / np.float64(uni[w])) * 1000.0)) for w in tk)
+        want[i] = (len(tk), s, s // len(tk))
+    assert got == want
+    # doc 2 (hapax tokens) must out-score doc 1 (common tokens) on mean
+    assert got[2][2] > got[1][2]

@@ -462,3 +462,78 @@ def winnow(ds, col: str = "text", id_col: str = "doc_id", *,
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset of (doc_id, n_tok, surprisal_x1e3, mean_x1e3): unigram
+    language-model surprisal per doc — the CCNet-style "perplexity
+    bucket" quality signal, with the corpus itself as the LM.
+
+    Per token t: floor(1000 * ln(N / c_t)) — an INTEGER per token, so
+    the per-doc sum is order-free and bit-identical on both engines
+    (a float sum would depend on addition order). mean_x1e3 is integer
+    division by the token count.
+
+    Scale shape: pass 1 is the standard unigram wordcount (map-side
+    combine, 64-way partitioned sum) gathered once and broadcast via
+    ray.put (Zipf-bounded vocabulary); pass 2 is map-only scoring."""
+    import ray
+    import ray.data  # noqa: F401
+
+    from toshi_ray.ops.corpus import _codes, _ngram_partial
+
+    def uni_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
+
+    uni_rows = (
+        ds.select_columns([col])
+        .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: uni_sum(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    words = np.array([r["gram"] for r in uni_rows])
+    wcnt = np.array([int(r["cnt"]) for r in uni_rows], dtype=np.int64)
+    order = np.argsort(words)
+    words, wcnt = words[order], wcnt[order]
+    total = float(wcnt.sum())
+    ref = ray.put((words, wcnt))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tok", pa.int64()),
+         ("surprisal_x1e3", pa.int64()), ("mean_x1e3", pa.int64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n_docs = t.num_rows
+        n_tok = np.bincount(tc.doc_index, minlength=n_docs).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = n_tok > 0
+        if tc.doc_index.size == 0:
+            return out_schema.empty_table()
+        w, c = ray.get(ref)
+        toks = tc.terms.to_numpy(zero_copy_only=False)
+        ct = c[np.searchsorted(w, toks)]
+        # integer per-token surprisal: same IEEE division + ln on both
+        # engines, floored BEFORE the (then order-free) sum
+        s_tok = np.floor(np.log(total / ct.astype(np.float64)) * 1000.0).astype(np.int64)
+        tot_doc = np.zeros(n_docs, np.int64)
+        np.add.at(tot_doc, tc.doc_index, s_tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has]),
+                "n_tok": pa.array(n_tok[has]),
+                "surprisal_x1e3": pa.array(tot_doc[has]),
+                "mean_x1e3": pa.array(tot_doc[has] // n_tok[has]),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(score, batch_format="pyarrow")

@@ -862,6 +862,21 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_lm_surprisal(sf_dir: str) -> pd.DataFrame:
+    """Unigram LM surprisal (CCNet-style quality bucket signal): per-
+    token integer-quantized floor(1000*ln(N/c_t)), order-free sums."""
+    from toshi_ray.ops.textstats import lm_surprisal
+
+    rows = lm_surprisal(_docs_ds(sf_dir)).take_all()
+    cols = ["doc_id", "n_tok", "surprisal_x1e3", "mean_x1e3"]
+    return (
+        pd.DataFrame(rows, columns=cols)
+        .astype({c: "int64" for c in cols})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_length_stats(sf_dir: str) -> pd.DataFrame:
     """Corpus token-length distribution: exact percentiles from an
     additive histogram with integer thresholds."""
@@ -1396,6 +1411,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    # unigram surprisal: per-token floor(1000*ln(N/c)) is an INTEGER, so
+    # the per-doc sum is order-free (a float sum would depend on
+    # addition order and could diverge between engines)
+    sql["lm_surprisal"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+uni AS (SELECT t, count(*) AS c FROM idx GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM idx),
+s AS (SELECT i.doc_id,
+        CAST(floor(ln(tot.n / ua.c) * 1000.0) AS BIGINT) AS st
+      FROM idx i JOIN uni ua ON ua.t = i.t, tot),
+per AS (SELECT doc_id, count(*) AS n_tok, sum(st) AS sx FROM s GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(sx AS BIGINT) AS surprisal_x1e3,
+       CAST(sx // n_tok AS BIGINT) AS mean_x1e3
+FROM per ORDER BY doc_id
+"""
+
     # length distribution: percentile thresholds in INTEGER arithmetic
     # ((n*q_num + q_den - 1) // q_den) — float quantile semantics never
     # enter the comparison
@@ -1599,6 +1632,7 @@ QUERIES = {
     "winnow": q_winnow,
     "collocations": q_collocations,
     "length_stats": q_length_stats,
+    "lm_surprisal": q_lm_surprisal,
     "dup_span_drop": q_dup_span_drop,
     "lang_id": q_lang_id,
     "events_window": q_events_window,

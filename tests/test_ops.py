@@ -1246,3 +1246,56 @@ def test_lm_surprisal_brute_force(ray_session):
     assert got == want
     # doc 2 (hapax tokens) must out-score doc 1 (common tokens) on mean
     assert got[2][2] > got[1][2]
+
+
+def test_dup_span_scrub_brute_force(ray_session):
+    """Coverage removal equals a per-doc Python reference: a token goes
+    iff a duplicated span starts within the preceding width-1 positions."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from toshi_ray.ops.dedup import dup_span_scrub
+
+    W = 8
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"keep these words {shared} and keep these too",
+        f"prefix {shared} suffix words go here now",
+        "no duplication in this document at all whatsoever today",
+        "tiny",
+    ]
+
+    def brute(texts):
+        toks = [
+            [w for w in re.split(r"[^0-9a-z]+", t.lower()) if w and len(w) < 40]
+            for t in texts
+        ]
+        spans = Counter()
+        for tk in toks:
+            spans.update(tuple(tk[i : i + W]) for i in range(len(tk) - W + 1))
+        out = {}
+        for d, tk in enumerate(toks):
+            starts = [
+                i for i in range(len(tk) - W + 1)
+                if spans[tuple(tk[i : i + W])] >= 2
+            ]
+            covered = set()
+            for s in starts:
+                covered.update(range(s, s + W))
+            kept = [t for j, t in enumerate(tk) if j not in covered]
+            out[d] = (" ".join(kept), len(kept), len(tk) - len(kept))
+        return out
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = {
+        int(r["doc_id"]): (r["clean_text"], int(r["n_kept"]), int(r["n_removed"]))
+        for r in dup_span_scrub(
+            ray.data.from_arrow(t).repartition(2), width=W
+        ).take_all()
+    }
+    assert got == brute(texts)
+    # the shared run must actually be gone
+    assert "alpha" not in got[0][0] and got[0][2] >= W

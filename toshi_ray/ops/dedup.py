@@ -1402,3 +1402,113 @@ def dup_span_drop(ds, col: str = "text", id_col: str = "doc_id", *,
         short_ids, batch_format="pyarrow"
     )
     return kept.union(short)
+
+
+def dup_span_scrub(ds, col: str = "text", id_col: str = "doc_id", *,
+                   width: int = 8):
+    """→ Dataset of (doc_id, clean_text, n_kept, n_removed): remove every
+    token covered by a duplicated `width`-token span (the actual rewrite
+    step of Lee et al.'s ExactSubstr dedup — `dup_spans` only reports).
+
+    clean_text is the ANALYZED token stream (lowercased, punctuation
+    collapsed) minus covered tokens, joined by single spaces — the
+    canonical form downstream LM-data pipelines feed to tokenizers.
+
+    Two passes over the corpus: pass 1 is `dup_spans`' hash-partitioned
+    occurrence count, but emitting the (small) set of DUPLICATED hashes,
+    gathered + broadcast via ray.put (the dup-hash set is bounded by
+    actual duplication, orders of magnitude below the span count);
+    pass 2 re-shingles each doc, marks covered token positions with a
+    vectorized diff-array (+1 at span start, -1 at span end), and cuts.
+    Text itself never shuffles."""
+    import ray
+    import ray.data  # noqa: F401
+    import pyarrow.compute as pc
+
+    ds = ds.select_columns([id_col, col])
+
+    def spans(t: pa.Table) -> pa.Table:
+        an = DefaultAnalyzer()
+        tc = an.tokenize_column(t[col].combine_chunks())
+        h, offs = _shingle_hashes(tc, t.num_rows, width, token_hash="sql")
+        if h.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        hs, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hs),
+                "c": pa.array(cnt.astype(np.int64)),
+                "part": pa.array((_mix(hs.astype(_U)) % _U(N_PAIR_PARTS)).astype(np.int64)),
+            }
+        )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=hs.size)
+        return pa.table({"h": pa.array(hs[tot >= 2])})
+
+    dup_rows = (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: dup_only(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    dup_set = np.sort(np.array([int(r["h"]) for r in dup_rows], dtype=np.int64))
+    _LOG.info("dup_span_scrub: %d duplicated span hashes broadcast", dup_set.size)
+    ref = ray.put(dup_set)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        an = DefaultAnalyzer()
+        tc = an.tokenize_column(t[col].combine_chunks())
+        n_docs = t.num_rows
+        counts = np.bincount(tc.doc_index, minlength=n_docs).astype(np.int64)
+        toffs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=toffs[1:])
+        h, soffs = _shingle_hashes(tc, n_docs, width, token_hash="sql")
+        dup = ray.get(ref)
+        n_tok = int(counts.sum())
+        # diff-array over GLOBAL token positions: +1 where a duplicated
+        # span starts, -1 one past its end; cumsum > 0 == covered
+        cover = np.zeros(n_tok + 1, np.int64)
+        if h.size:
+            pos = np.searchsorted(dup, h)
+            isdup = (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)] == h)
+            scnt = np.diff(soffs)
+            # span j of doc d starts at token toffs[d] + (j - soffs[d])
+            sdoc = np.repeat(np.arange(n_docs, dtype=np.int64), scnt)
+            local = np.arange(h.size, dtype=np.int64) - soffs[:-1][sdoc]
+            gstart = toffs[sdoc] + local
+            gs = gstart[isdup]
+            np.add.at(cover, gs, 1)
+            np.add.at(cover, gs + width, -1)  # spans never cross docs
+        covered = np.cumsum(cover[:-1]) > 0
+        keep = ~covered
+        terms = tc.terms
+        kept_terms = terms.filter(pa.array(keep))
+        kept_doc = tc.doc_index[keep]
+        kept_cnt = np.bincount(kept_doc, minlength=n_docs).astype(np.int64)
+        # per-doc ' '-join of kept tokens via a ListArray wrap (zero-copy)
+        koffs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(kept_cnt, out=koffs[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(koffs, type=pa.int64()),
+            kept_terms.combine_chunks() if isinstance(kept_terms, pa.ChunkedArray) else kept_terms,
+        )
+        clean = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": t[id_col].combine_chunks().cast(pa.int64()),
+                "clean_text": clean.cast(pa.string()),
+                "n_kept": pa.array(kept_cnt),
+                "n_removed": pa.array(counts - kept_cnt),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -862,6 +862,19 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr rewrite step: tokens covered by any duplicated 8-span
+    removed, analyzed-token-stream output."""
+    from toshi_ray.ops.dedup import dup_span_scrub
+
+    df = dup_span_scrub(_docs_ds(sf_dir), width=8).to_pandas()
+    return (
+        df.astype({"doc_id": "int64", "n_kept": "int64", "n_removed": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_lm_surprisal(sf_dir: str) -> pd.DataFrame:
     """Unigram LM surprisal (CCNet-style quality bucket signal): per-
     token integer-quantized floor(1000*ln(N/c_t)), order-free sums."""
@@ -1411,6 +1424,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    # ExactSubstr scrub: token j is removed iff some duplicated span
+    # starts in [j-7, j]; clean_text = kept analyzed tokens in order
+    sql["dup_span_scrub"] = f"""
+WITH {_DUP_SPAN_CTES},
+flat_i AS (SELECT doc_id, unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS i FROM sp),
+dup AS (SELECT h FROM flat_i GROUP BY h HAVING count(*) >= 2),
+cov AS (SELECT f.doc_id, f.i FROM flat_i f JOIN dup d USING (h)),
+pos AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk) + 1)) AS j FROM toks),
+keep AS (SELECT p.doc_id, p.j, p.tok FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = p.doc_id
+                           AND c.i BETWEEN p.j - 7 AND p.j)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               count(*) AS n_kept
+        FROM keep GROUP BY doc_id),
+lens AS (SELECT doc_id, len(tk) AS n FROM toks)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(l.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM lens l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
     # unigram surprisal: per-token floor(1000*ln(N/c)) is an INTEGER, so
     # the per-doc sum is order-free (a float sum would depend on
     # addition order and could diverge between engines)
@@ -1634,6 +1669,7 @@ QUERIES = {
     "length_stats": q_length_stats,
     "lm_surprisal": q_lm_surprisal,
     "dup_span_drop": q_dup_span_drop,
+    "dup_span_scrub": q_dup_span_scrub,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

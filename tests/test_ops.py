@@ -1299,3 +1299,36 @@ def test_dup_span_scrub_brute_force(ray_session):
     assert got == brute(texts)
     # the shared run must actually be gone
     assert "alpha" not in got[0][0] and got[0][2] >= W
+
+
+def test_vocab_and_lang_length_stats(ray_session):
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.corpus import lang_length_stats, vocab_stats
+
+    texts = ["the cat sat", "the dog ran far", "ein hund lief", "", "la la la"]
+    langs = ["en", "en", "de", "de", "fr"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    vs = vocab_stats(ds).to_pandas().iloc[0]
+    from collections import Counter
+    uni = Counter(
+        w for txt in texts
+        for w in re.split(r"[^0-9a-z]+", txt.lower()) if w and len(w) < 40
+    )
+    assert int(vs["n_tokens"]) == sum(uni.values())
+    assert int(vs["n_distinct"]) == len(uni)
+    assert int(vs["n_hapax"]) == sum(1 for c in uni.values() if c == 1)
+
+    ls = lang_length_stats(ds).to_pandas()
+    # de: lengths [3, 0] -> n=2, total=3, p50 = len at ceil(2/2)=1st = 0
+    de = ls[ls["lang"] == "de"].iloc[0]
+    assert (int(de["n_docs"]), int(de["total_tokens"]), int(de["p50"]),
+            int(de["max_tokens"])) == (2, 3, 0, 3)
+    fr = ls[ls["lang"] == "fr"].iloc[0]
+    assert (int(fr["n_docs"]), int(fr["total_tokens"]), int(fr["p50"])) == (1, 3, 3)
+    assert list(ls["lang"]) == sorted(ls["lang"])

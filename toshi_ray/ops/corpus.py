@@ -483,3 +483,118 @@ def length_stats(ds, *, col: str = "text"):
             "max_tokens": pa.array([int(L[-1])], pa.int64()),
         }
     )
+
+
+def vocab_stats(ds, *, col: str = "text"):
+    """→ one-row table (n_tokens, n_distinct, n_hapax): corpus vocabulary
+    summary — the inputs to tokenizer-vocab sizing and Zipf sanity
+    checks. EXACT distinct counting without a global distinct shuffle:
+    tokens hash-partition 64 ways, a token's global count lives entirely
+    in one partition, so per-partition distinct / hapax counts ADD."""
+    import ray.data  # noqa: F401
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_tokens": pa.array([0], pa.int64()),
+                             "n_distinct": pa.array([0], pa.int64()),
+                             "n_hapax": pa.array([0], pa.int64())})
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        return pa.table(
+            {
+                "n_tokens": pa.array([int(tot.sum())], pa.int64()),
+                "n_distinct": pa.array([int(tot.size)], pa.int64()),
+                "n_hapax": pa.array([int((tot == 1).sum())], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: fold(t.drop_columns(["part"])), batch_format="pyarrow")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_tokens": pa.array([sum(int(r["n_tokens"]) for r in rows)], pa.int64()),
+            "n_distinct": pa.array([sum(int(r["n_distinct"]) for r in rows)], pa.int64()),
+            "n_hapax": pa.array([sum(int(r["n_hapax"]) for r in rows)], pa.int64()),
+        }
+    )
+
+
+def lang_length_stats(ds, *, col: str = "text", lang_col: str = "lang"):
+    """→ (lang, n_docs, total_tokens, p50, max_tokens) per language —
+    the per-language length report mixing policies consume. Same
+    additive (lang, L, c) histogram scheme as `length_stats`; the driver
+    merges a histogram bounded by langs x distinct lengths."""
+    import ray.data  # noqa: F401
+
+    from toshi_ray.ops.textstats import _tokenize
+
+    def partial(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n_tok = np.bincount(tc.doc_index, minlength=t.num_rows).astype(np.int64)
+        lc, lvoc = _codes(t[lang_col])
+        order, starts = _run_starts(lc, n_tok)
+        c = np.diff(np.r_[starts, n_tok.size]).astype(np.int64)
+        rl, rL = lc[order][starts], n_tok[order][starts]
+        return pa.table(
+            {
+                "lang": lvoc.take(pa.array(rl)).cast(pa.string()),
+                "L": pa.array(rL),
+                "c": pa.array(c),
+                "part": pa.array(
+                    ((rL.astype(_U) * _U(31) + _mix(rl.astype(_U))) % _U(N_PAIR_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "L": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        lc, lvoc = _codes(t["lang"])
+        L = t["L"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts = _run_starts(lc, L)
+        cs = np.add.reduceat(c[order], starts)
+        return pa.table(
+            {
+                "lang": lvoc.take(pa.array(lc[order][starts])).cast(pa.string()),
+                "L": pa.array(L[order][starts]),
+                "c": pa.array(cs.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.select_columns([lang_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: fold(t.drop_columns(["part"])), batch_format="pyarrow")
+        .take_all()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["lang", "L", "c"])
+    out = []
+    for lang, g in sorted(df.groupby("lang"), key=lambda kv: kv[0]):
+        g = g.groupby("L", as_index=False)["c"].sum().sort_values("L")
+        L = g["L"].to_numpy()
+        c = g["c"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        p50 = int(L[np.searchsorted(cum, (n + 1) // 2)])
+        out.append((lang, n, int((L * c).sum()), p50, int(L[-1])))
+    return pa.table(
+        {
+            "lang": pa.array([o[0] for o in out], pa.string()),
+            "n_docs": pa.array([o[1] for o in out], pa.int64()),
+            "total_tokens": pa.array([o[2] for o in out], pa.int64()),
+            "p50": pa.array([o[3] for o in out], pa.int64()),
+            "max_tokens": pa.array([o[4] for o in out], pa.int64()),
+        }
+    )

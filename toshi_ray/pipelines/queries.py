@@ -862,6 +862,21 @@ def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary summary: exact distinct/hapax counts via
+    hash-partition-additive fold."""
+    from toshi_ray.ops.corpus import vocab_stats
+
+    return vocab_stats(_docs_ds(sf_dir)).to_pandas()
+
+
+def q_lang_length_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language length report from additive (lang, L, c) histograms."""
+    from toshi_ray.ops.corpus import lang_length_stats
+
+    return lang_length_stats(_docs_ds(sf_dir)).to_pandas()
+
+
 def q_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr rewrite step: tokens covered by any duplicated 8-span
     removed, analyzed-token-stream output."""
@@ -1424,6 +1439,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM per ORDER BY doc_id
 """
 
+    sql["vocab_stats"] = f"""
+WITH {TOKENS_CTE},
+idx AS (SELECT unnest(tk) AS t FROM toks),
+uni AS (SELECT t, count(*) AS c FROM idx GROUP BY t)
+SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hapax
+FROM uni
+"""
+
+    sql["lang_length_stats"] = f"""
+WITH {TOKENS_CTE},
+lens AS (SELECT lang, len(tk) AS L FROM toks),
+h AS (SELECT lang, L, count(*) AS c FROM lens GROUP BY lang, L),
+cum AS (SELECT lang, L, c, sum(c) OVER (PARTITION BY lang ORDER BY L) AS cc FROM h),
+s AS (SELECT lang, count(*) AS n_docs, sum(L) AS total_tokens,
+             max(L) AS max_tokens
+      FROM lens GROUP BY lang)
+SELECT s.lang, CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.total_tokens AS BIGINT) AS total_tokens,
+       CAST((SELECT min(L) FROM cum c WHERE c.lang = s.lang
+             AND c.cc >= (s.n_docs + 1) // 2) AS BIGINT) AS p50,
+       CAST(s.max_tokens AS BIGINT) AS max_tokens
+FROM s ORDER BY s.lang
+"""
+
     # ExactSubstr scrub: token j is removed iff some duplicated span
     # starts in [j-7, j]; clean_text = kept analyzed tokens in order
     sql["dup_span_scrub"] = f"""
@@ -1668,6 +1709,8 @@ QUERIES = {
     "collocations": q_collocations,
     "length_stats": q_length_stats,
     "lm_surprisal": q_lm_surprisal,
+    "vocab_stats": q_vocab_stats,
+    "lang_length_stats": q_lang_length_stats,
     "dup_span_drop": q_dup_span_drop,
     "dup_span_scrub": q_dup_span_scrub,
     "lang_id": q_lang_id,

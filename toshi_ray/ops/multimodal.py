@@ -1,13 +1,18 @@
 """Multimodal column stages — image/audio/video as opaque binary columns.
 
 The Ray-side plumbing (schema, actor-pool stage shape, batch sizing,
-output layout) is real and tested; the actual codec work is STUBBED
-because no image/audio libraries exist in this container:
+output layout) is real and tested. Codec dispatch is three-tier:
 
-* if PIL / soundfile import, the real decode path runs;
-* otherwise each stage uses a clearly-marked deterministic fake
+* if PIL / soundfile import, they decode everything they can;
+* otherwise payloads in formats decodable with numpy + stdlib get a
+  REAL decode via `toshi_ray.ops.codecs` — PNM images (PGM/PPM,
+  ASCII or binary, 8/16-bit) and PCM WAV audio (stdlib ``wave``);
+* anything else falls back to a clearly-marked deterministic fake
   (derived from the payload bytes) or raises NotImplementedError for
-  operations where a fake would be misleading.
+  operations where a fake would be misleading (resize).
+
+Every decode stage emits a ``real_decode`` bool column so downstream
+consumers (and tests) can tell which rows carried a working codec.
 
 Pattern per SURVEY guidance: stateful actor pool (`map_batches(Cls,
 concurrency=N, batch_size=small)`) — decoder/model state loads once per
@@ -20,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from toshi_ray.ops import codecs
+
 IMAGE_META_SCHEMA = [
     ("width", pa.int32()),
     ("height", pa.int32()),
@@ -28,12 +35,14 @@ IMAGE_META_SCHEMA = [
 
 
 class ImageDecodeStage:
-    """binary `data` column → (width, height, mode, feature vector).
+    """binary `data` column → (width, height, mode, feature vector, real_decode).
 
-    Real path uses PIL when importable; STUB path derives a
+    Decode order per payload: PIL when importable; else the builtin
+    pure-numpy PNM codec (`ops.codecs`) for PGM/PPM payloads; else a
     deterministic fake geometry + feature from the payload hash so the
-    pipeline shape (schema, batching, actor reuse) is exercised end to
-    end. Mark: `self.stubbed` tells callers which path ran.
+    pipeline shape (schema, batching, actor reuse) is still exercised.
+    `real_decode` marks per row which path ran; `self.stubbed` tells
+    callers whether PIL was available.
     """
 
     def __init__(self, feature_dim: int = 16, data_col: str = "data", id_col: str = "doc_id"):
@@ -62,50 +71,74 @@ class ImageDecodeStage:
                     "feature": pa.FixedSizeListArray.from_arrays(
                         pa.array([], pa.float64()), self.feature_dim
                     ),
+                    "real_decode": pa.array([], pa.bool_()),
                 }
             )
         data = t[self.data_col].combine_chunks()
+        n = t.num_rows
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        mode = np.empty(n, dtype=object)
+        feats = np.zeros((n, self.feature_dim), dtype=np.float64)
+        real = np.zeros(n, dtype=bool)
+        fake_idx = []
         if not self.stubbed:
             import io
 
-            rows = data.to_pylist()
-            w, h, mode, feats = [], [], [], []
-            for payload in rows:
+            for i, payload in enumerate(data.to_pylist()):
                 img = self._Image.open(io.BytesIO(payload))
-                w.append(img.width)
-                h.append(img.height)
-                mode.append(img.mode)
+                w[i], h[i], mode[i], real[i] = img.width, img.height, img.mode, True
                 arr = np.asarray(img.convert("L").resize((4, 4)), dtype=np.float64)
-                feats.append(arr.reshape(-1)[: self.feature_dim])
-            feats = np.stack(feats)
+                feats[i, : min(self.feature_dim, arr.size)] = (
+                    arr.reshape(-1)[: self.feature_dim] / 255.0
+                )
         else:
+            for i, payload in enumerate(data.to_pylist()):
+                if codecs.sniff(payload) == "pnm":
+                    try:
+                        arr, m = codecs.decode_pnm(payload)
+                    except ValueError:
+                        fake_idx.append(i)
+                        continue
+                    h[i], w[i] = arr.shape[0], arr.shape[1]
+                    mode[i], real[i] = m, True
+                    feats[i] = codecs.image_feature(arr, self.feature_dim)
+                else:
+                    fake_idx.append(i)
+        if fake_idx:
             # STUB: deterministic fake decode from payload bytes
-            hs = _hash_strings(data.cast(pa.large_binary()))
-            w = (hs % np.uint64(1920) + np.uint64(1)).astype(np.int32)
-            h = ((hs >> np.uint64(16)) % np.uint64(1080) + np.uint64(1)).astype(np.int32)
-            mode = np.where(hs % np.uint64(2) == 0, "RGB", "L")
+            sub = np.asarray(fake_idx, dtype=np.int64)
+            hs = _hash_strings(data.take(pa.array(sub)).cast(pa.large_binary()))
+            w[sub] = (hs % np.uint64(1920) + np.uint64(1)).astype(np.int32)
+            h[sub] = ((hs >> np.uint64(16)) % np.uint64(1080) + np.uint64(1)).astype(
+                np.int32
+            )
+            mode[sub] = np.where(hs % np.uint64(2) == 0, "RGB", "L")
             rng_bits = np.stack(
                 [(hs >> np.uint64(4 * i)) & np.uint64(0xF) for i in range(self.feature_dim)],
                 axis=1,
             ).astype(np.float64)
-            feats = rng_bits / 15.0
+            feats[sub] = rng_bits / 15.0
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "width": pa.array(np.asarray(w, dtype=np.int32)),
-                "height": pa.array(np.asarray(h, dtype=np.int32)),
+                "width": pa.array(w),
+                "height": pa.array(h),
                 "mode": pa.array(list(mode), type=pa.string()),
                 "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.asarray(feats, dtype=np.float64).reshape(-1)),
-                    self.feature_dim,
+                    pa.array(feats.reshape(-1)), self.feature_dim
                 ),
+                "real_decode": pa.array(real),
             }
         )
 
 
 class ImageResizeStage:
-    """Resize stub: real work requires PIL; without it this stage raises
-    (a fake resize would silently corrupt a real pipeline)."""
+    """Resize: PIL for arbitrary formats when importable; the builtin
+    pure-numpy codec resizes PNM payloads (box-mean shrink / nearest
+    grow) and re-encodes binary PGM/PPM. Payloads NEITHER path can
+    decode raise — a fake resize would silently corrupt a real
+    pipeline."""
 
     def __init__(self, size: tuple[int, int] = (224, 224), data_col: str = "data"):
         self.size = size
@@ -118,18 +151,24 @@ class ImageResizeStage:
             self._Image = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self._Image is None:
-            raise NotImplementedError(
-                "ImageResizeStage needs PIL; not available in this container"
-            )
         import io
 
         out = []
         for payload in t[self.data_col].to_pylist():
-            img = self._Image.open(io.BytesIO(payload)).resize(self.size)
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            out.append(buf.getvalue())
+            if self._Image is not None:
+                img = self._Image.open(io.BytesIO(payload)).resize(self.size)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+            elif codecs.sniff(payload) == "pnm":
+                arr, _ = codecs.decode_pnm(payload)
+                resized = np.round(codecs.box_resize(arr, self.size))
+                out.append(codecs.encode_pnm(resized.astype(arr.dtype)))
+            else:
+                raise NotImplementedError(
+                    "ImageResizeStage: payload is not PNM and PIL is not "
+                    "available in this container"
+                )
         return t.set_column(
             t.schema.get_field_index(self.data_col), self.data_col, pa.array(out, pa.binary())
         )
@@ -166,12 +205,13 @@ class FrameSampleStage:
 
 
 class AudioFeatureStage:
-    """binary audio payload → (n_samples, sample_rate, feature vector).
+    """binary audio payload → (n_samples, sample_rate, feature, real_decode).
 
-    Real path decodes with soundfile when importable; STUB path derives
-    a deterministic fake from the payload hash (like ImageDecodeStage)
-    so the actor-pool shape, schema and batching are exercised end to
-    end. `self.stubbed` tells callers which path ran."""
+    Decode order per payload: soundfile when importable; else the
+    builtin stdlib-``wave`` PCM codec (`ops.codecs`) for RIFF/WAVE
+    payloads; else a deterministic fake from the payload hash (like
+    ImageDecodeStage) so the actor-pool shape, schema and batching are
+    exercised end to end. `real_decode` marks which path ran per row."""
 
     def __init__(self, feature_dim: int = 8, data_col: str = "data",
                  id_col: str = "doc_id"):
@@ -199,40 +239,54 @@ class AudioFeatureStage:
                     "feature": pa.FixedSizeListArray.from_arrays(
                         pa.array([], pa.float64()), self.feature_dim
                     ),
+                    "real_decode": pa.array([], pa.bool_()),
                 }
             )
         data = t[self.data_col].combine_chunks()
+        n = t.num_rows
+        ns = np.zeros(n, dtype=np.int64)
+        sr = np.zeros(n, dtype=np.int32)
+        feats = np.zeros((n, self.feature_dim), dtype=np.float64)
+        real = np.zeros(n, dtype=bool)
+        fake_idx = []
         if not self.stubbed:
             import io
 
-            ns, sr, feats = [], [], []
-            for payload in data.to_pylist():
+            for i, payload in enumerate(data.to_pylist()):
                 wav, rate = self._sf.read(io.BytesIO(payload))
                 wav = np.atleast_2d(np.asarray(wav, dtype=np.float64).T)
-                ns.append(wav.shape[1])
-                sr.append(rate)
-                # band energies over equal chunks — a real (tiny) feature
-                chunks = np.array_split(wav.mean(axis=0), self.feature_dim)
-                feats.append(np.array([float(np.abs(c).mean()) if c.size else 0.0
-                                       for c in chunks]))
-            feats = np.stack(feats)
+                ns[i], sr[i], real[i] = wav.shape[1], rate, True
+                feats[i] = codecs.audio_feature(wav.T, self.feature_dim)
         else:
-            hs = _hash_strings(data.cast(pa.large_binary()))
-            ns = (hs % np.uint64(48_000 * 30) + np.uint64(1)).astype(np.int64)
-            sr = np.where(hs % np.uint64(2) == 0, 16_000, 44_100).astype(np.int32)
-            feats = np.stack(
+            for i, payload in enumerate(data.to_pylist()):
+                if codecs.sniff(payload) == "wav":
+                    try:
+                        x, rate = codecs.decode_wav(payload)
+                    except Exception:  # wave.Error / ValueError: corrupt payload
+                        fake_idx.append(i)
+                        continue
+                    ns[i], sr[i], real[i] = x.shape[0], rate, True
+                    feats[i] = codecs.audio_feature(x, self.feature_dim)
+                else:
+                    fake_idx.append(i)
+        if fake_idx:
+            sub = np.asarray(fake_idx, dtype=np.int64)
+            hs = _hash_strings(data.take(pa.array(sub)).cast(pa.large_binary()))
+            ns[sub] = (hs % np.uint64(48_000 * 30) + np.uint64(1)).astype(np.int64)
+            sr[sub] = np.where(hs % np.uint64(2) == 0, 16_000, 44_100).astype(np.int32)
+            feats[sub] = np.stack(
                 [(hs >> np.uint64(5 * i)) & np.uint64(0x1F)
                  for i in range(self.feature_dim)], axis=1
             ).astype(np.float64) / 31.0
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "n_samples": pa.array(np.asarray(ns, dtype=np.int64)),
-                "sample_rate": pa.array(np.asarray(sr, dtype=np.int32)),
+                "n_samples": pa.array(ns),
+                "sample_rate": pa.array(sr),
                 "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.asarray(feats, dtype=np.float64).reshape(-1)),
-                    self.feature_dim,
+                    pa.array(feats.reshape(-1)), self.feature_dim
                 ),
+                "real_decode": pa.array(real),
             }
         )
 

@@ -1446,3 +1446,19 @@ def test_image_resize_builtin_pnm():
 
     with _pytest.raises(NotImplementedError):
         stage(bad)
+
+
+def test_frame_sample_query_matches_sql(ray_session):
+    import duckdb
+
+    from toshi_ray.pipelines.queries import QUERIES, oracle_sql_map
+
+    got = QUERIES["frame_sample"](SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(oracle_sql_map()["frame_sample"]).df().astype(
+        {"doc_id": "int64", "frame_ms": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)

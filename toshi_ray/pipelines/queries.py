@@ -1023,6 +1023,41 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Multimodal frame sampling as a driver query. No real video exists
+    in the sandbox, so a deterministic per-doc duration (byte length of
+    the text, scaled and wrapped) stands in for the container metadata a
+    demuxer would report; FrameSampleStage then emits the sampled frame
+    offsets. The SQL twin recomputes the identical arithmetic."""
+    import pyarrow.compute as pc
+
+    from toshi_ray.ops.multimodal import FrameSampleStage
+
+    stage = FrameSampleStage(every_n_ms=1000)
+
+    def _with_duration(t: pa.Table) -> pa.Table:
+        nb = pc.binary_length(t["text"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "duration_ms": pa.array(nb * 37 % 30000),
+            }
+        )
+
+    rows = (
+        _docs_ds(sf_dir)
+        .map_batches(_with_duration, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow")
+        .take_all()
+    )
+    return (
+        pd.DataFrame(rows)
+        .astype({"doc_id": "int64", "frame_ms": "int64"})
+        .sort_values(["doc_id", "frame_ms"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL — one entry per SQL-expressible query above
 # ---------------------------------------------------------------------------
@@ -1228,6 +1263,20 @@ FROM documents GROUP BY text ORDER BY doc_id
     sql["minhash_verify"] = minhash_verify_sql()
     sql["dedup_cluster"] = dedup_cluster_sql()
     sql["fingerprint"] = fingerprint_sql()
+
+    # frame offsets from the deterministic stand-in duration; strlen is
+    # byte length, matching pc.binary_length on the Ray side
+    sql["frame_sample"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CAST(strlen(text) AS BIGINT) * 37) % 30000 AS duration_ms
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(duration_ms // 1000 + 1)) * 1000 AS BIGINT) AS frame_ms
+FROM d
+ORDER BY doc_id, frame_ms
+"""
 
     # all pairs within a source whose exact token-trigram jaccard clears
     # the threshold; int/int division is bit-identical on both engines
@@ -1718,4 +1767,5 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,
+    "frame_sample": q_frame_sample,
 }

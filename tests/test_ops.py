@@ -1462,3 +1462,24 @@ def test_frame_sample_query_matches_sql(ray_session):
         {"doc_id": "int64", "frame_ms": "int64"}
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_binary_decode_queries_match_sql(ray_session):
+    """image_meta / audio_meta prove the REAL PNM/WAV decode paths under
+    the driver's hash-match gate: geometry comes from parsing payload
+    bytes, checksums from the decoded feature vectors."""
+    import duckdb
+
+    from toshi_ray.pipelines.queries import QUERIES, oracle_sql_map
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    for k in ("image_meta", "audio_meta"):
+        got = QUERIES[k](SF)
+        want = con.execute(oracle_sql_map()[k]).df()
+        for c in want.columns:
+            if want[c].dtype != object:
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)

@@ -1058,6 +1058,96 @@ def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_image_meta(sf_dir: str) -> pd.DataFrame:
+    """Real binary image decode under the hash-match gate. Each doc gets
+    a synthesized PGM payload (4 × H gradient, geometry + pixels pure
+    doc_id arithmetic); ImageDecodeStage must parse the actual bytes to
+    recover geometry, and the pixel checksum is reconstructed from the
+    decoded block-mean feature vector — so header AND raster decode are
+    both cross-checked by SQL recomputing the same arithmetic."""
+    import pyarrow.compute as pc
+
+    from toshi_ray.ops.codecs import encode_pnm
+    from toshi_ray.ops.multimodal import ImageDecodeStage
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        payloads = []
+        for d in ids:
+            h = 4 * (int(d) % 3 + 1)  # 4, 8 or 12 rows; width fixed at 4
+            arr = ((int(d) * 17 + np.arange(h * 4)) % 251).astype(np.uint8)
+            payloads.append(encode_pnm(arr.reshape(h, 4)))
+        return pa.table({"doc_id": pa.array(ids),
+                         "data": pa.array(payloads, pa.binary())})
+
+    rows = (
+        _docs_ds(sf_dir)
+        .map_batches(_mk, batch_format="pyarrow")
+        .map_batches(ImageDecodeStage(), batch_format="pyarrow")
+        .take_all()
+    )
+    out = []
+    for r in rows:
+        assert r["real_decode"], "builtin PNM decode must be the real path"
+        h4 = r["height"] // 4  # rows per mean-pooled block
+        # feature[j] = (block pixel sum)/(h4*255) → total = Σf · 255 · h4
+        chk = int(round(float(np.sum(r["feature"])) * 255.0 * h4))
+        out.append((int(r["doc_id"]), int(r["width"]), int(r["height"]),
+                    r["mode"], chk))
+    return (
+        pd.DataFrame(out, columns=["doc_id", "width", "height", "mode", "pix_chk"])
+        .astype({"doc_id": "int64", "width": "int64", "height": "int64",
+                 "pix_chk": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_audio_meta(sf_dir: str) -> pd.DataFrame:
+    """Real PCM WAV decode under the hash-match gate (see q_image_meta):
+    synthesized 16-bit mono payloads with doc_id-arithmetic sample
+    values; AudioFeatureStage must parse the RIFF container to recover
+    length + rate, and the absolute-amplitude checksum is reconstructed
+    from the decoded band-energy features."""
+    import pyarrow.compute as pc
+
+    from toshi_ray.ops.codecs import encode_wav
+    from toshi_ray.ops.multimodal import AudioFeatureStage
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        payloads = []
+        for d in ids:
+            n = int(d) % 300 + 50
+            v = (int(d) * 31 + np.arange(n)) % 2001 - 1000  # pcm16 values
+            payloads.append(encode_wav(v / 32767.0, 8000 if d % 2 == 0 else 16000))
+        return pa.table({"doc_id": pa.array(ids),
+                         "data": pa.array(payloads, pa.binary())})
+
+    rows = (
+        _docs_ds(sf_dir)
+        .map_batches(_mk, batch_format="pyarrow")
+        .map_batches(AudioFeatureStage(), batch_format="pyarrow")
+        .take_all()
+    )
+    out = []
+    for r in rows:
+        assert r["real_decode"], "builtin WAV decode must be the real path"
+        n = int(r["n_samples"])
+        # np.array_split chunk lengths: first n%8 chunks get one extra
+        lens = np.full(8, n // 8, dtype=np.int64)
+        lens[: n % 8] += 1
+        # feature[j] = mean|x| of chunk j, x = pcm/32768 → Σ|pcm| exact
+        chk = int(round(float(np.dot(r["feature"], lens)) * 32768.0))
+        out.append((int(r["doc_id"]), n, int(r["sample_rate"]), chk))
+    return (
+        pd.DataFrame(out, columns=["doc_id", "n_samples", "sample_rate", "amp_chk"])
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL — one entry per SQL-expressible query above
 # ---------------------------------------------------------------------------
@@ -1263,6 +1353,28 @@ FROM documents GROUP BY text ORDER BY doc_id
     sql["minhash_verify"] = minhash_verify_sql()
     sql["dedup_cluster"] = dedup_cluster_sql()
     sql["fingerprint"] = fingerprint_sql()
+
+    # decoded geometry + pixel checksum of the synthesized PGM gradients;
+    # the engine recovers these by actually parsing payload bytes
+    sql["image_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(4 AS BIGINT) AS width,
+       4 * (CAST(doc_id AS BIGINT) % 3 + 1) AS height,
+       'L' AS mode,
+       list_sum(list_transform(range(16 * (CAST(doc_id AS BIGINT) % 3 + 1)),
+                i -> (CAST(doc_id AS BIGINT) * 17 + i) % 251))::BIGINT AS pix_chk
+FROM documents ORDER BY doc_id
+"""
+
+    # decoded PCM length / rate / absolute-amplitude checksum
+    sql["audio_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id AS BIGINT) % 300 + 50 AS n_samples,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate,
+       list_sum(list_transform(range(CAST(doc_id AS BIGINT) % 300 + 50),
+                i -> abs((CAST(doc_id AS BIGINT) * 31 + i) % 2001 - 1000)))::BIGINT AS amp_chk
+FROM documents ORDER BY doc_id
+"""
 
     # frame offsets from the deterministic stand-in duration; strlen is
     # byte length, matching pc.binary_length on the Ray side
@@ -1768,4 +1880,6 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,
     "frame_sample": q_frame_sample,
+    "image_meta": q_image_meta,
+    "audio_meta": q_audio_meta,
 }

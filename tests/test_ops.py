@@ -1483,3 +1483,36 @@ def test_binary_decode_queries_match_sql(ray_session):
             if want[c].dtype != object:
                 want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_gopher_quality_rules(ray_session):
+    """Each Gopher rule flips keep on a targeted synthetic doc; the
+    integer cross-multiplied thresholds match a per-rule reference."""
+    import ray.data
+
+    from toshi_ray.ops.textstats import gopher_quality
+
+    good = ("the code and data that we have built with care " * 6).strip()  # 60 words
+    texts = [
+        good,                                   # passes everything
+        "the of and short",                     # word count < 50
+        good + " " + "a " * 200,                # mean word len < 3 (tok_chars < 3n)
+        good.replace(" ", " # # ")[:2000],      # symbol ratio > 0.1
+        ("42 7 " * 30 + "the of").strip(),      # alpha fraction < 0.8
+        good.replace("the", "xxx").replace("and", "yyy").replace("that", "zzz")
+            .replace("with", "www").replace("have", "vvv"),  # stopwords < 2
+        "",                                     # empty
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    rows = {int(r["doc_id"]): r
+            for r in gopher_quality(ray.data.from_arrow(t).repartition(2),
+                                    min_words=50).take_all()}
+    assert rows[0]["keep"] == 1
+    for i in range(1, 7):
+        assert rows[i]["keep"] == 0, f"doc {i} should be dropped"
+    # counts spot-check on the clean doc: 10 words repeated 6x
+    assert rows[0]["n_words"] == 60
+    assert rows[0]["n_stop"] == 6 * 5  # the, and, that, have, with per repeat
+    assert rows[0]["n_alpha"] == 60
+    assert rows[0]["n_sym"] == 0

@@ -138,6 +138,75 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(pred, batch_format="pyarrow")
 
 
+# Gopher's required-stopword list (Rae et al. 2021, Table A1) —
+# mirrored verbatim in the SQL oracle
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """→ (doc_id, n_words, tok_chars, n_sym, n_alpha, n_stop, keep):
+    the Gopher composite quality FILTER (Rae et al. 2021, Table A1
+    subset) as one vectorized map-only stage. ``keep`` = 1 iff ALL of:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]           (3·n ≤ tok_chars ≤ 10·n)
+    - symbol-to-word ratio ≤ 0.1            (10·n_sym ≤ n_words;
+      symbols = '#' chars + non-overlapping '...' runs)
+    - ≥ 80% of words contain a letter       (5·n_alpha ≥ 4·n_words)
+    - ≥ 2 of Gopher's required stopwords present (with multiplicity)
+
+    Every rule is a cross-multiplied INTEGER comparison — no float
+    ratios — so the DuckDB twin is hash-exact. Words are the analyzed
+    token stream (T1 chain), the same vocabulary every other text op
+    uses. Line-shape rules (bullet/ellipsis line fractions) are out of
+    scope: the input contract is single-block text."""
+    ds = ds.select_columns([id_col, col])
+
+    def f(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = t.num_rows
+        n_words = tc.norms.astype(np.int64)
+        lens = pc.utf8_length(tc.terms).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_chars = np.bincount(tc.doc_index, weights=lens, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(tc.terms, "[a-z]").to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(tc.doc_index[alpha], minlength=n).astype(np.int64)
+        n_stop = _per_doc_count_in_set(tc, n, set(GOPHER_STOPWORDS)).astype(np.int64)
+        text = pc.fill_null(t[col].combine_chunks().cast(pa.string()), "")
+        n_sym = (
+            pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+            + pc.count_substring(text, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (3 * n_words <= tok_chars)
+            & (tok_chars <= 10 * n_words)
+            & (10 * n_sym <= n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop >= 2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_words),
+                "tok_chars": pa.array(tok_chars),
+                "n_sym": pa.array(n_sym),
+                "n_alpha": pa.array(n_alpha),
+                "n_stop": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, tok_chars, top2_cnt, top2_ppm, dup3_ppm) — the
     Gopher-family repetition-quality signals (Rae et al. 2021, Table A1)

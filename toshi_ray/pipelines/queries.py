@@ -753,6 +753,16 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "n_tokens", "n_stop", "n_uniq", "quality_x1e6"]]
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher composite quality filter (Rae et al. 2021 Table A1
+    subset) — every rule a cross-multiplied integer comparison, so the
+    twin is hash-exact with zero float tolerance."""
+    from toshi_ray.ops.textstats import gopher_quality
+
+    rows = gopher_quality(_docs_ds(sf_dir)).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import lang_id
 
@@ -1763,6 +1773,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM v ORDER BY doc_id
 """
 
+    gstop = "['the','be','to','of','and','that','have','with']"
+    sql["gopher_quality"] = f"""
+WITH {TOKENS_CTE},
+sym AS (SELECT doc_id,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+        FROM documents),
+v AS (
+  SELECT t.doc_id, len(tk) AS n_words,
+         coalesce(list_aggregate(list_transform(tk, s -> length(s)), 'sum'), 0) AS tok_chars,
+         len(list_filter(tk, s -> regexp_matches(s, '[a-z]'))) AS n_alpha,
+         len(list_filter(tk, s -> list_contains({gstop}, s))) AS n_stop,
+         y.n_sym
+  FROM toks t JOIN sym y USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(tok_chars AS BIGINT) AS tok_chars,
+       CAST(n_sym AS BIGINT) AS n_sym,
+       CAST(n_alpha AS BIGINT) AS n_alpha,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND 3 * n_words <= tok_chars AND tok_chars <= 10 * n_words
+                  AND 10 * n_sym <= n_words
+                  AND 5 * n_alpha >= 4 * n_words
+                  AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM v ORDER BY doc_id
+"""
+
     sql["text_normalize"] = """
 WITH v AS (
   SELECT doc_id, text,
@@ -1860,6 +1899,7 @@ QUERIES = {
     "decontam": q_decontam,
     "token_stats": q_token_stats,
     "quality": q_quality,
+    "gopher_quality": q_gopher_quality,
     "repetition": q_repetition,
     "mix_sample": q_mix_sample,
     "source_stats": q_source_stats,

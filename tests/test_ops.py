@@ -1516,3 +1516,47 @@ def test_gopher_quality_rules(ray_session):
     assert rows[0]["n_stop"] == 6 * 5  # the, and, that, have, with per repeat
     assert rows[0]["n_alpha"] == 60
     assert rows[0]["n_sym"] == 0
+
+
+def test_semantic_decontam_tiebreak_and_threshold(ray_session):
+    """Duplicate eval vectors (exact cosine tie) must resolve to the
+    SMALLEST eval id even when ids arrive unsorted, and the contaminated
+    flag compares on the quantized value."""
+    import ray.data
+
+    from toshi_ray.ops.similarity import semantic_decontam
+
+    rng = np.random.default_rng(7)
+    ev = rng.normal(size=(3, 8))
+    ev[2] = ev[0]  # ids 90 and 10 tie exactly on every train vec
+    train = np.vstack([ev[0] * 2.0, rng.normal(size=(4, 8))])
+    t = pa.table({
+        "vec_id": pa.array(range(100, 105), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in train],
+                              pa.list_(pa.float32())),
+    })
+    got = pd.DataFrame(
+        semantic_decontam(
+            ray.data.from_arrow(t).repartition(2),
+            ev, np.array([90, 50, 10]),  # unsorted on purpose
+            threshold_x1e3=990,
+        ).take_all()
+    ).sort_values("vec_id").reset_index(drop=True)
+    # train[0] is colinear with ev[0]==ev[2] → cos 1.0 under both ids
+    row = got[got.vec_id == 100].iloc[0]
+    assert row.nearest_eval_id == 10 and row.cos_x1e3 == 1000
+    assert row.contaminated == 1
+    # brute-force check of every row (float32 storage → recompute the
+    # same way: cast to float64 AFTER the float32 round-trip)
+    tr32 = train.astype(np.float32).astype(np.float64)
+    tr32 /= np.linalg.norm(tr32, axis=1, keepdims=True)
+    evn = ev / np.linalg.norm(ev, axis=1, keepdims=True)
+    order = np.argsort([90, 50, 10], kind="stable")
+    evs, eids = evn[order], np.array([90, 50, 10])[order]
+    simq = np.floor(tr32 @ evs.T * 1000.0 + 0.5).astype(np.int64)
+    for i, vid in enumerate(range(100, 105)):
+        r = got[got.vec_id == vid].iloc[0]
+        b = simq[i].argmax()
+        assert r.nearest_eval_id == eids[b]
+        assert r.cos_x1e3 == simq[i, b]
+        assert r.contaminated == int(simq[i, b] >= 990)

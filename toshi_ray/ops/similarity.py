@@ -536,3 +536,62 @@ def lsh_topk(
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
     out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     return (out, stats) if return_stats else out
+
+
+def semantic_decontam(
+    train_ds,
+    eval_vecs: np.ndarray,
+    eval_ids: np.ndarray,
+    *,
+    threshold_x1e3: int = 400,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """→ Dataset of (vec_id, nearest_eval_id, cos_x1e3, contaminated):
+    EMBEDDING-space benchmark decontamination — flag every training
+    vector whose max cosine against ANY eval/benchmark vector reaches
+    the threshold (the semantic complement of the n-gram `decontam` op
+    in ops/cleaning.py).
+
+    Scale shape: the eval matrix is the SMALL side (benchmarks are
+    thousands of rows) — normalized once on the driver and `ray.put`
+    broadcast; each training batch does a single (batch × eval) matmul
+    and emits one row per vector. Map-only, zero shuffle, the training
+    corpus streams.
+
+    Determinism contract: cosines are quantized to 1e-3 BEFORE both the
+    argmax and the threshold compare, and eval columns are ordered by
+    ascending eval id, so `nearest_eval_id` ties break to the smallest
+    id and row membership cannot flip on an ulp — the DuckDB twin
+    (row_number over (cos_x1e3 DESC, eval_id)) reproduces every value
+    exactly.
+    """
+    import ray
+
+    ev = np.asarray(eval_vecs, dtype=np.float64)
+    ids = np.asarray(eval_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")  # ascending ids → argmax tie-break
+    ev, ids = ev[order], ids[order]
+    ref = ray.put((_normalize(ev), ids))
+
+    def f(t: pa.Table) -> pa.Table:
+        em, eids = ray.get(ref)
+        v = _normalize(_vec_matrix(t[vec_col]))
+        simq = np.floor((v @ em.T) * 1000.0 + 0.5).astype(np.int64)
+        best = simq.argmax(axis=1)  # first max = smallest eval id
+        rows = np.arange(simq.shape[0])
+        cos = simq[rows, best]
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "nearest_eval_id": pa.array(eids[best]),
+                "cos_x1e3": pa.array(cos),
+                "contaminated": pa.array(
+                    (cos >= threshold_x1e3).astype(np.int64)
+                ),
+            }
+        )
+
+    return train_ds.select_columns([id_col, vec_col]).map_batches(
+        f, batch_format="pyarrow"
+    )

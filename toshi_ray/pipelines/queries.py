@@ -692,6 +692,39 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return _quantized_ann_frame(df)
 
 
+def q_semantic_decontam(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space benchmark decontamination: label-0 vectors are
+    the 'benchmark' set (driver-loaded small side, broadcast once); all
+    other vectors are the training pool. Quantize-before-compare keeps
+    the threshold and the nearest-id tie-break hash-exact vs DuckDB."""
+    import pyarrow.parquet as pq
+
+    from toshi_ray.ops.similarity import semantic_decontam
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    is_eval = pa.compute.equal(t["label"], 0)
+    ev = t.filter(is_eval)
+    from toshi_ray.ops.similarity import _vec_matrix
+
+    eval_vecs = _vec_matrix(ev["embedding"])
+    eval_ids = ev["vec_id"].to_numpy(zero_copy_only=False)
+
+    train = _emb_ds(sf_dir).map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["label"], 0)),
+        batch_format="pyarrow",
+    )
+    rows = semantic_decontam(train, eval_vecs, eval_ids).take_all()
+    return (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_text_normalize(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.cleaning import normalize_text
 
@@ -1773,6 +1806,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM v ORDER BY doc_id
 """
 
+    # embedding-space decontamination: quantized max-cos per training
+    # vector vs every label-0 (benchmark) vector; nearest id via
+    # row_number over the QUANTIZED score so an ulp cannot flip it
+    sql["semantic_decontam"] = """
+WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE label = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+p AS (SELECT t.vec_id, e.eval_id,
+        CAST(floor(list_cosine_similarity(t.embedding, e.embedding) * 1000.0 + 0.5) AS BIGINT) AS cos_x1e3
+      FROM tr t CROSS JOIN ev e),
+best AS (SELECT vec_id, eval_id, cos_x1e3,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_x1e3 DESC, eval_id) AS rn
+         FROM p)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(eval_id AS BIGINT) AS nearest_eval_id,
+       cos_x1e3,
+       CAST(CASE WHEN cos_x1e3 >= 400 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM best WHERE rn = 1 ORDER BY vec_id
+"""
+
     gstop = "['the','be','to','of','and','that','have','with']"
     sql["gopher_quality"] = f"""
 WITH {TOKENS_CTE},
@@ -1894,6 +1946,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "semantic_decontam": q_semantic_decontam,
     "text_normalize": q_text_normalize,
     "pii_redact": q_pii_redact,
     "decontam": q_decontam,

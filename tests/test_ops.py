@@ -1560,3 +1560,39 @@ def test_semantic_decontam_tiebreak_and_threshold(ray_session):
         assert r.nearest_eval_id == eids[b]
         assert r.cos_x1e3 == simq[i, b]
         assert r.contaminated == int(simq[i, b] >= 990)
+
+
+def test_hll_vocab_registers_and_accuracy(ray_session):
+    """HLL registers equal a brute-force per-token computation, are
+    partition-invariant (max-merge), and the estimate lands within the
+    sketch's expected error band on a known-cardinality vocabulary."""
+    import ray.data
+
+    from toshi_ray.ops.corpus import hll_vocab
+    from toshi_ray.ops.dedup import _poly_hash31
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}x{i * 7}" for i in range(1000)]
+    texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+
+    got1 = hll_vocab(ray.data.from_arrow(t).repartition(1))
+    got7 = hll_vocab(ray.data.from_arrow(t).repartition(7))
+    assert got1.equals(got7)  # partition-invariant
+
+    toks = [w for s in texts for w in s.split()]
+    arr = pa.array(toks, pa.string())
+    h = _poly_hash31(arr, 257) + _poly_hash31(arr, 131) * np.int64(1 << 31)
+    bucket, w = h % 64, h // 64
+    bitlen = np.zeros(w.size, np.int64)
+    for i in range(57):
+        bitlen += (w >> i) > 0
+    want = np.zeros(64, np.int64)
+    np.maximum.at(want, bucket, 57 - bitlen)
+    regs = got1["register"].to_numpy()
+    assert (regs == want).all()
+
+    n_true = len(set(toks))
+    est = got1["est_x100"][0].as_py() / 100.0
+    assert abs(est - n_true) / n_true < 0.45  # m=64 → ~13% std error

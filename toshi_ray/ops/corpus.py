@@ -598,3 +598,69 @@ def lang_length_stats(ds, *, col: str = "text", lang_col: str = "lang"):
             "max_tokens": pa.array([o[4] for o in out], pa.int64()),
         }
     )
+
+
+def hll_vocab(ds, *, col: str = "text", m: int = 64):
+    """→ 64-row table (bucket, register, est_x100): HyperLogLog sketch
+    of the corpus's distinct-token count (Flajolet et al. 2007) — the
+    approximate, merge-friendly counterpart to `vocab_stats`' exact
+    partitioned count. At 100 TB an exact distinct needs a vocabulary
+    shuffle; the HLL register table is a CONSTANT 64 integers whose
+    merge is elementwise max, so partials combine associatively across
+    any partitioning (and across whole corpora).
+
+    Derandomized + SQL-recomputable: token hash h = p257 + p131·2^31
+    (62 bits, the simhash scheme), bucket = h mod m, w = h div m,
+    register = max over tokens of (bit-budget 56 − bitlen(w) + 1). The
+    raw-HLL estimate alpha·m²/Σ2^(−reg) is folded over registers in
+    bucket order with the identical IEEE add sequence on both engines,
+    so even the float estimate is hash-exact (each 2^−reg is dyadic).
+    """
+    import ray.data  # noqa: F401
+
+    from toshi_ray.ops.dedup import _poly_hash31
+    from toshi_ray.ops.textstats import _tokenize
+
+    assert m == 64, "SQL twin and bit budget are fixed at m=64"
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        if t.num_rows:
+            tc = _tokenize(t, col)
+            if len(tc.terms):
+                h1 = _poly_hash31(tc.terms, 257)
+                h2 = _poly_hash31(tc.terms, 131)
+                h = h1 + h2 * np.int64(1 << 31)  # < 2^62
+                bucket = h % m
+                w = h // m  # 56-bit remainder
+                bitlen = np.zeros(w.size, np.int64)
+                for i in range(57):
+                    bitlen += (w >> i) > 0
+                rho = 57 - bitlen  # leading zeros in 56 bits + 1
+                np.maximum.at(regs, bucket, rho)
+        return pa.table(
+            {"bucket": pa.array(np.arange(m, dtype=np.int64)),
+             "register": pa.array(regs)}
+        )
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("register")
+        .take_all()
+    )
+    regs = np.zeros(m, np.int64)
+    for r in rows:
+        regs[int(r["bucket"])] = int(r["max(register)"])
+    s = 0.0
+    for v in regs:  # bucket-order sequential fold — mirrors the SQL list_reduce
+        s = s + 2.0 ** (-int(v))
+    est_x100 = int(np.floor(0.709 * 64 * 64 / s * 100.0))
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(m, dtype=np.int64)),
+            "register": pa.array(regs),
+            "est_x100": pa.array(np.full(m, est_x100, np.int64)),
+        }
+    )

@@ -913,6 +913,16 @@ def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
     return vocab_stats(_docs_ds(sf_dir)).to_pandas()
 
 
+def q_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-token sketch: 64 (bucket, register) rows +
+    the raw-HLL estimate folded in bucket order — registers AND the
+    IEEE-identical float fold both sit under the hash gate."""
+    from toshi_ray.ops.corpus import hll_vocab
+
+    t = hll_vocab(_docs_ds(sf_dir))
+    return t.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
 def q_lang_length_stats(sf_dir: str) -> pd.DataFrame:
     """Per-language length report from additive (lang, L, c) histograms."""
     from toshi_ray.ops.corpus import lang_length_stats
@@ -1806,6 +1816,31 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM v ORDER BY doc_id
 """
 
+    # HyperLogLog sketch: 62-bit derandomized token hash → bucket/rho
+    # registers (pure integer: bitlen via shift-filter), estimate via a
+    # bucket-ordered list_reduce so the float fold is IEEE-identical
+    h62 = f"({_tok_hash31_sql('t', 257)} + {_tok_hash31_sql('t', 131)} * 2147483648)"
+    sql["distinct_hll"] = f"""
+WITH {TOKENS_CTE},
+tok AS (SELECT unnest(tk) AS t FROM toks),
+hv AS (SELECT {h62} AS h FROM tok),
+v AS (SELECT h % 64 AS bucket, h // 64 AS w FROM hv),
+r AS (SELECT bucket,
+        max(57 - len(list_filter(range(57), i -> (w >> i) > 0))) AS register
+      FROM v GROUP BY bucket),
+allb AS (SELECT unnest(range(64)) AS bucket),
+regs AS (SELECT a.bucket, coalesce(r.register, 0) AS register
+         FROM allb a LEFT JOIN r USING (bucket)),
+est AS (SELECT list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+                       list(power(2.0, -register) ORDER BY bucket)),
+          (x, y) -> x + y) AS s FROM regs)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(register AS BIGINT) AS register,
+       CAST(floor(0.709 * 64 * 64 / s * 100.0) AS BIGINT) AS est_x100
+FROM regs, est ORDER BY bucket
+"""
+
     # embedding-space decontamination: quantized max-cos per training
     # vector vs every label-0 (benchmark) vector; nearest id via
     # row_number over the QUANTIZED score so an ulp cannot flip it
@@ -1964,6 +1999,7 @@ QUERIES = {
     "length_stats": q_length_stats,
     "lm_surprisal": q_lm_surprisal,
     "vocab_stats": q_vocab_stats,
+    "distinct_hll": q_distinct_hll,
     "lang_length_stats": q_lang_length_stats,
     "dup_span_drop": q_dup_span_drop,
     "dup_span_scrub": q_dup_span_scrub,

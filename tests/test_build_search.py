@@ -797,3 +797,19 @@ def test_regex_validated_by_executing_engine(ray_session, tmp_path):
     # RE2 accepts POSIX character classes Python's `re` rejects
     r = s.search({"query": {"regex": {"text": "[[:alpha:]]+"}}})
     assert r["hits"] == 2
+
+
+def test_make_snippet_contract():
+    """1-based first_pos, start clamp, window width, all-occurrence
+    highlight, absent-term sentinel."""
+    from toshi_ray.search import make_snippet
+
+    pos, frag = make_snippet("The SPARK engine spark.", "spark")
+    assert pos == 5  # 1-based, on the lowercased text
+    assert frag == "the <b>spark</b> engine <b>spark</b>."
+    # window clamps at text start and cuts at width
+    text = "x" * 30 + " spark " + "y" * 200
+    pos, frag = make_snippet(text, "spark", context=20, width=40)
+    assert pos == 32
+    assert frag == text.lower()[11:51].replace("spark", "<b>spark</b>")
+    assert make_snippet("no match", "spark") == (0, "")

@@ -310,6 +310,23 @@ def q_term_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_snippet_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k + highlight fragments from the stored text of the k
+    winners (SnippetGenerator analogue) — scores, first-occurrence
+    positions and the highlighted fragments all under the hash gate."""
+    from toshi_ray.search import make_snippet
+
+    s = searcher_for(sf_dir)
+    r = s.search({"query": {"term": {"text": "spark"}}, "limit": 20})
+    rows = []
+    for d in r["docs"]:
+        pos, frag = make_snippet(str(d["doc"]["text"]), "spark")
+        rows.append((int(d["doc"]["doc_id"]),
+                     int(np.floor(d["score"] * 10000.0)), pos, frag))
+    return pd.DataFrame(rows, columns=["doc_id", "score_x1e4",
+                                       "first_pos", "snippet"])
+
+
 def q_raw_topk(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     r = s.search({"query": {"raw": "text:Spark"}, "limit": 50})  # raw IS analyzed
@@ -1213,6 +1230,18 @@ def oracle_sql_map() -> dict[str, str]:
     sql["raw_topk"] = bm25_topk_sql("spark", 50)
     sql["raw_boost_topk"] = bm25_topk_sql("spark", 50, boost=2.0)
 
+    # snippet = 80-char window from 20 before the first occurrence in
+    # the lowercased stored text, all in-window occurrences wrapped;
+    # 1-based first_pos matches strpos (0 = absent, unreachable in topk)
+    sql["snippet_topk"] = f"""
+SELECT q.doc_id, q.score_x1e4,
+       CAST(strpos(lower(d.text), 'spark') AS BIGINT) AS first_pos,
+       replace(substr(lower(d.text),
+                      greatest(strpos(lower(d.text), 'spark') - 20, 1), 80),
+               'spark', '<b>spark</b>') AS snippet
+FROM ({bm25_topk_sql("spark", 20)}) q JOIN documents d USING (doc_id)
+"""
+
     sql["raw_grouped"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
@@ -1956,6 +1985,7 @@ FROM v ORDER BY doc_id
 
 QUERIES = {
     "term_topk": q_term_topk,
+    "snippet_topk": q_snippet_topk,
     "raw_topk": q_raw_topk,
     "raw_grouped": q_raw_grouped,
     "raw_boost_topk": q_raw_boost_topk,

@@ -1280,3 +1280,28 @@ def _jsonify(doc: dict) -> dict:
             v = v[0]  # FlatNamedDocument single-element flatten (mod.rs:322-338)
         out[k] = v
     return out
+
+
+def make_snippet(text: str, term: str, *, context: int = 20, width: int = 80) -> tuple[int, str]:
+    """Highlight fragment for one hit — the analogue of tantivy's
+    SnippetGenerator, which the reference exposes through search results
+    (tantivy re-analyzes the STORED text per hit exactly like this;
+    Toshi itself returns whole stored docs, so this is a beyond-reference
+    search nicety). Deterministic contract, mirrored in ANSI SQL:
+
+    - operate on the LOWERCASED stored text (the analyzer's casefold);
+    - ``first_pos`` = 1-based char position of the first substring
+      occurrence (0 when absent — matches SQL ``strpos``);
+    - fragment = ``width`` chars starting ``context`` before the match
+      (clamped to the text start), with every in-window occurrence
+      wrapped in ``<b>…</b>`` (substring semantics, like SQL replace).
+
+    Per-hit scalar work on the k winners only — never a corpus pass.
+    """
+    lt = text.lower()
+    p = lt.find(term)
+    if p < 0:
+        return 0, ""
+    start = max(p - context, 0)
+    frag = lt[start : start + width]
+    return p + 1, frag.replace(term, f"<b>{term}</b>")

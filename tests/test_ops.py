@@ -1596,3 +1596,44 @@ def test_hll_vocab_registers_and_accuracy(ray_session):
     n_true = len(set(toks))
     est = got1["est_x100"][0].as_py() / 100.0
     assert abs(est - n_true) / n_true < 0.45  # m=64 → ~13% std error
+
+
+def test_funnel_semantics(ray_session):
+    """Anchored-first funnel: strictly-after matching, unreached-step
+    sentinel, inclusive window boundary, and no re-anchoring when a
+    later start would complete faster."""
+    import ray.data
+
+    from toshi_ray.ops.windows import funnel
+
+    US = 1_000_000
+    rows = [
+        # user 1: clean complete within window
+        (1, 0, "view"), (1, 10 * US, "click"), (1, 20 * US, "purchase"),
+        # user 2: purchase BEFORE click → t3 unreached
+        (2, 0, "view"), (2, 5 * US, "purchase"), (2, 10 * US, "click"),
+        # user 3: click at exactly t1 (not strictly after) → t2 unreached
+        (3, 7 * US, "view"), (3, 7 * US, "click"),
+        # user 4: completes at exactly the window bound (inclusive)
+        (4, 0, "view"), (4, US, "click"), (4, 100 * US, "purchase"),
+        # user 5: first view anchors; completion exceeds window even
+        # though a later view would fit — anchored semantics
+        (5, 0, "view"), (5, 200 * US, "view"),
+        (5, 201 * US, "click"), (5, 202 * US, "purchase"),
+        # user 6: no view at all → absent from output
+        (6, 0, "click"), (6, US, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = {int(r["user_id"]): r for r in funnel(
+        ray.data.from_arrow(t).repartition(3), window_secs=100).take_all()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1]["t1_us"], got[1]["t2_us"], got[1]["t3_us"],
+            got[1]["completed"]) == (0, 10 * US, 20 * US, 1)
+    assert got[2]["t3_us"] == -1 and got[2]["completed"] == 0
+    assert got[3]["t2_us"] == -1 and got[3]["t3_us"] == -1
+    assert got[4]["completed"] == 1  # t3 - t1 == window exactly
+    assert got[5]["t1_us"] == 0 and got[5]["completed"] == 0

@@ -175,3 +175,74 @@ def sliding_window_agg(
             Sum(on="sum_value_x1e3", alias_name="sum_value_x1e3"),
         )
     )
+
+
+def funnel(
+    ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    window_secs: int | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+):
+    """Ordered-sequence funnel per key (the product-analytics staple):
+    anchor at the key's FIRST ``steps[0]`` event, then each next step is
+    the earliest matching event STRICTLY after the previous step;
+    ``completed`` = every step matched and (if ``window_secs``) the
+    whole sequence fits in the window from the anchor.
+
+    → (key, t1_us..tN_us [-1 = step unreached], completed). All values
+    are integer microseconds, so the DuckDB twin (correlated mins) is
+    hash-exact. Anchored-first semantics are deterministic by
+    construction (no dependence on scan order).
+
+    Scale shape: keys co-locate by a COARSE 64-way hash partition (one
+    Ray group per partition, not per key); inside a partition each step
+    is one boolean mask + ``np.minimum.at`` over the factorized key
+    index — a fixed number of vectorized passes, no per-key loop.
+    """
+    import pandas as pd
+
+    n_steps = len(steps)
+    assert n_steps >= 2
+    sent = np.iinfo(np.int64).max
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "ts_us": t[ts_col].cast(pa.int64()),
+                type_col: t[type_col],
+                "part": pa.array((k % 64).astype(np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        keys, uidx = np.unique(g[key_col].to_numpy(), return_inverse=True)
+        ts = g["ts_us"].to_numpy()
+        et = g[type_col].to_numpy()
+        t_step = np.full((n_steps, keys.size), sent, np.int64)
+        mask0 = et == steps[0]
+        np.minimum.at(t_step[0], uidx[mask0], ts[mask0])
+        for i in range(1, n_steps):
+            m = (et == steps[i]) & (ts > t_step[i - 1][uidx])
+            np.minimum.at(t_step[i], uidx[m], ts[m])
+        has1 = t_step[0] < sent
+        done = t_step[-1] < sent
+        if window_secs is not None:
+            done &= (t_step[-1] - t_step[0]) <= window_secs * 1_000_000
+        cols = {key_col: pa.array(keys[has1])}
+        for i in range(n_steps):
+            v = t_step[i][has1]
+            cols[f"t{i + 1}_us"] = pa.array(np.where(v == sent, -1, v))
+        cols["completed"] = pa.array(done[has1].astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )

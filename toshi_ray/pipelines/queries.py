@@ -1052,6 +1052,23 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """view→click→purchase funnel, anchored-first semantics, 96 h
+    completion window — integer-µs timestamps keep the twin hash-exact."""
+    import ray.data
+
+    from toshi_ray.ops.windows import funnel
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = funnel(ds, window_secs=96 * 3600).take_all()
+    return (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1366,6 +1383,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents ORDER BY doc_id LIMIT 100
     sql["sort_topk"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+    # anchored-first funnel: t1 = first 'view'; each next step the
+    # earliest strictly-later matching event (correlated mins); 96 h
+    # completion window on integer microseconds
+    sql["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+a AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT a.user_id, a.t1,
+        (SELECT min(t) FROM e WHERE e.user_id = a.user_id
+           AND event_type = 'click' AND t > a.t1) AS t2 FROM a),
+c AS (SELECT b.user_id, b.t1, b.t2,
+        CASE WHEN b.t2 IS NULL THEN NULL ELSE
+          (SELECT min(t) FROM e WHERE e.user_id = b.user_id
+             AND event_type = 'purchase' AND t > b.t2) END AS t3 FROM b)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(t1 AS BIGINT) AS t1_us,
+       CAST(coalesce(t2, -1) AS BIGINT) AS t2_us,
+       CAST(coalesce(t3, -1) AS BIGINT) AS t3_us,
+       CAST(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= CAST(345600000000 AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS completed
+FROM c ORDER BY user_id
 """
 
     sql["events_window"] = """
@@ -2035,6 +2074,7 @@ QUERIES = {
     "dup_span_scrub": q_dup_span_scrub,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
+    "events_funnel": q_events_funnel,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,

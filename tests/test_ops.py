@@ -1637,3 +1637,56 @@ def test_funnel_semantics(ray_session):
     assert got[3]["t2_us"] == -1 and got[3]["t3_us"] == -1
     assert got[4]["completed"] == 1  # t3 - t1 == window exactly
     assert got[5]["t1_us"] == 0 and got[5]["completed"] == 0
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: latest right <= left (equal ts visible), strict
+    variant excludes equal ts, -1 sentinels, partition-invariant."""
+    import ray.data
+
+    from toshi_ray.ops.joins import asof_join
+
+    def tbl(rows, cols, types):
+        return pa.table({c: pa.array([r[i] for r in rows], ty)
+                         for i, (c, ty) in enumerate(zip(cols, types))})
+
+    left = tbl([(1, 7, 100), (2, 7, 50), (3, 7, 200), (4, 9, 10), (5, 8, 100)],
+               ["event_id", "user_id", "ts_us"],
+               [pa.int64()] * 3)
+    right = tbl([(7, 100, 11), (7, 150, 22), (8, 40, 33), (8, 90, 44)],
+                ["user_id", "ts_us", "v"], [pa.int64()] * 3)
+
+    for nparts in (1, 3):
+        got = {int(r["event_id"]): r for r in asof_join(
+            ray.data.from_arrow(left).repartition(nparts),
+            ray.data.from_arrow(right).repartition(nparts),
+            key_col="user_id").take_all()}
+        assert (got[1]["match_ts_us"], got[1]["match_v"]) == (100, 11)  # equal ts
+        assert (got[2]["match_ts_us"], got[2]["match_v"]) == (-1, -1)   # too early
+        assert (got[3]["match_ts_us"], got[3]["match_v"]) == (150, 22)  # latest
+        assert (got[4]["match_ts_us"], got[4]["match_v"]) == (-1, -1)   # no key
+        assert (got[5]["match_ts_us"], got[5]["match_v"]) == (90, 44)
+
+    strict = {int(r["event_id"]): r for r in asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", strict=True).take_all()}
+    assert (strict[1]["match_ts_us"], strict[1]["match_v"]) == (-1, -1)
+    assert (strict[3]["match_ts_us"], strict[3]["match_v"]) == (150, 22)
+
+
+def test_range_join_bounds(ray_session):
+    """Half-open [lo, hi): lo inclusive, hi exclusive, gaps and
+    out-of-range values take the miss label; overlap rejected."""
+    import ray.data
+
+    from toshi_ray.ops.joins import range_join
+
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "n_chars": pa.array([0, 149, 150, 249, 275, 301], pa.int64())})
+    iv = [(0, 150, "xs"), (150, 250, "s"), (300, 1000, "l")]
+    got = {int(r["doc_id"]): r["bucket"] for r in range_join(
+        ray.data.from_arrow(t).repartition(2), iv, value_col="n_chars").take_all()}
+    assert got == {0: "xs", 1: "xs", 2: "s", 3: "s", 4: "none", 5: "l"}
+    with pytest.raises(ValueError):
+        range_join(ray.data.from_arrow(t), [(0, 10, "a"), (5, 20, "b")],
+                   value_col="n_chars")

@@ -1069,6 +1069,62 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: every purchase event picks up the latest
+    signup event of the same user at-or-before it (ts + integer-scaled
+    value) — the time-series join Ray Data has no native operator for."""
+    import ray.data
+
+    from toshi_ray.ops.joins import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def mk(et: str, with_id: bool, with_v: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pa.compute.equal(t["event_type"], et))
+            cols = {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+            if with_id:
+                cols["event_id"] = t["event_id"].cast(pa.int64())
+            if with_v:
+                cols["v"] = pa.array(
+                    np.floor(
+                        t["value"].to_numpy(zero_copy_only=False) * 1000.0
+                    ).astype(np.int64)
+                )
+            return pa.table(cols)
+
+        return ray.data.read_parquet(path).map_batches(f, batch_format="pyarrow")
+
+    rows = asof_join(
+        mk("purchase", True, False), mk("signup", False, True), key_col="user_id"
+    ).take_all()
+    return (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast interval join: documents bucketed by n_chars against a
+    small ranges table (ray.put once, searchsorted per batch); the gap
+    at [250, 300) exercises the miss label."""
+    from toshi_ray.ops.joins import range_join
+
+    iv = [(0, 150, "xs"), (150, 250, "s"), (300, 1_000_000, "l")]
+    rows = range_join(_docs_ds(sf_dir), iv, value_col="n_chars").take_all()
+    df = pd.DataFrame(rows)
+    return (
+        df.astype({"doc_id": "int64", "n_chars": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -1383,6 +1439,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents ORDER BY doc_id LIMIT 100
     sql["sort_topk"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+    # backward as-of join: latest same-user signup at-or-before each
+    # purchase; correlated max + unambiguous (user, ts) value lookup
+    sql["asof_join"] = """
+WITH l AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events WHERE event_type = 'signup'),
+m AS (SELECT l.event_id, l.user_id, l.t,
+        (SELECT max(r.t) FROM r WHERE r.user_id = l.user_id AND r.t <= l.t) AS rt
+      FROM l)
+SELECT event_id, user_id, t AS ts_us,
+       CAST(coalesce(rt, -1) AS BIGINT) AS match_ts_us,
+       CAST(coalesce((SELECT r.v FROM r WHERE r.user_id = m.user_id AND r.t = m.rt), -1) AS BIGINT) AS match_v
+FROM m ORDER BY event_id
+"""
+
+    sql["range_join"] = """
+WITH iv(lo, hi, bucket) AS (VALUES (0, 150, 'xs'), (150, 250, 's'), (300, 1000000, 'l'))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       coalesce(i.bucket, 'none') AS bucket
+FROM documents d LEFT JOIN iv i ON d.n_chars >= i.lo AND d.n_chars < i.hi
+ORDER BY doc_id
 """
 
     # anchored-first funnel: t1 = first 'view'; each next step the
@@ -2075,6 +2157,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_funnel": q_events_funnel,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,

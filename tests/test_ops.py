@@ -1690,3 +1690,26 @@ def test_range_join_bounds(ray_session):
     with pytest.raises(ValueError):
         range_join(ray.data.from_arrow(t), [(0, 10, "a"), (5, 20, "b")],
                    value_col="n_chars")
+
+
+def test_retention_cohorts_brute_force(ray_session):
+    """Partition-additive cohort counts equal a per-user Python
+    reference, including multi-event days (distinct) and gap days."""
+    import ray.data
+
+    from toshi_ray.ops.windows import retention_cohorts
+
+    D = 86_400_000_000
+    rows = [  # (user, day): user 1 cohort d0 active d0,d2; user 2 cohort d0
+        (1, 0), (1, 0), (1, 2),       # same-day dup must count once
+        (2, 0), (2, 1),
+        (3, 2), (3, 2), (3, 5),       # cohort d2
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * D + 777 for r in rows], pa.timestamp("us")),
+    })
+    got = {(int(r["cohort_day"]), int(r["day_offset"])): int(r["n_active"])
+           for r in retention_cohorts(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (2, 0): 1, (2, 3): 1}

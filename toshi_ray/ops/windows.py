@@ -246,3 +246,66 @@ def funnel(
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def retention_cohorts(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    day_us: int = 86_400_000_000,
+):
+    """Cohort retention: cohort = a key's FIRST active day (UTC day of
+    min ts); for every (cohort_day, day_offset) count the keys active
+    on cohort_day + offset. → (cohort_day, day_offset, n_active).
+
+    Scale shape: keys co-locate via the coarse 64-way hash partition,
+    so each partition computes its keys' cohorts AND their distinct
+    (key, day) activity locally — per-partition (cohort, offset) counts
+    are ADDITIVE (a key never spans partitions), and the second groupby
+    carries only O(days²) rows per partition, never per-event rows.
+    Pure integer day arithmetic keeps the DuckDB twin hash-exact.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "day": pa.array(ts // day_us),
+                "part": pa.array((k % 64).astype(np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        keys, uidx = np.unique(g["k"].to_numpy(), return_inverse=True)
+        day = g["day"].to_numpy()
+        first = np.full(keys.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, uidx, day)
+        span = int(day.max() - day.min()) + 1 if day.size else 1
+        uniq = np.unique(uidx.astype(np.int64) * span + (day - day.min()))
+        u = uniq // span
+        d = uniq % span + day.min()
+        cohort = first[u]
+        off = d - cohort
+        pairs, cnt = np.unique(cohort * span + off, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(pairs // span),
+                "day_offset": pa.array(pairs % span),
+                "n_active": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum(on="n_active", alias_name="n_active"))
+    )

@@ -1069,6 +1069,23 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention curves: users cohorted by first-active UTC day,
+    distinct-active counts per (cohort_day, day_offset)."""
+    import ray.data
+
+    from toshi_ray.ops.windows import retention_cohorts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    rows = retention_cohorts(ds).take_all()
+    return (
+        pd.DataFrame(rows)
+        .astype("int64")
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+
 def q_asof_join(sf_dir: str) -> pd.DataFrame:
     """Backward as-of join: every purchase event picks up the latest
     signup event of the same user at-or-before it (ts + integer-scaled
@@ -1439,6 +1456,16 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents ORDER BY doc_id LIMIT 100
     sql["sort_topk"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+    sql["retention"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS off_d
+      FROM e JOIN f USING (user_id))
+SELECT CAST(cohort AS BIGINT) AS cohort_day, CAST(off_d AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a GROUP BY cohort, off_d ORDER BY cohort_day, day_offset
 """
 
     # backward as-of join: latest same-user signup at-or-before each
@@ -2158,6 +2185,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_funnel": q_events_funnel,
     "asof_join": q_asof_join,
+    "retention": q_retention,
     "range_join": q_range_join,
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,

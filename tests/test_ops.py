@@ -1713,3 +1713,41 @@ def test_retention_cohorts_brute_force(ray_session):
            for r in retention_cohorts(
                ray.data.from_arrow(t).repartition(3)).take_all()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (2, 0): 1, (2, 3): 1}
+
+
+def test_chunk_tokens_geometry_and_text(ray_session):
+    """Chunk starts/lengths/text equal a per-doc Python reference,
+    including overlap, a doc shorter than one window, and empty docs."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.cleaning import chunk_tokens
+
+    texts = [
+        " ".join(f"t{i}" for i in range(70)),  # 3 chunks at size 32 / stride 24
+        "one two three",                       # single short chunk
+        "",                                    # emits nothing
+        " ".join(f"u{i}" for i in range(24)),  # exactly one stride → 1 chunk
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = pd.DataFrame(
+        chunk_tokens(ray.data.from_arrow(t).repartition(2),
+                     size=32, stride=24).take_all()
+    ).sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    want = []
+    for d, txt in enumerate(texts):
+        tk = [w for w in re.split(r"[^0-9a-z]+", txt.lower()) if w and len(w) < 40]
+        n = len(tk)
+        for j in range((n + 23) // 24):
+            s = j * 24
+            e = min(s + 32, n)
+            want.append((d, j, s, e - s, " ".join(tk[s:e])))
+    want = pd.DataFrame(want, columns=["doc_id", "chunk_idx", "start_tok",
+                                       "n_tok", "chunk_text"])
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "chunk_idx": "int64",
+                    "start_tok": "int64", "n_tok": "int64"}), want)
+    assert (got[got.doc_id == 0].n_tok.tolist() == [32, 32, 22])

@@ -107,3 +107,73 @@ def decontaminate(ds, ref_texts: list[str], *, n: int = 8,
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def chunk_tokens(
+    ds,
+    *,
+    size: int = 32,
+    stride: int = 24,
+    col: str = "text",
+    id_col: str = "doc_id",
+):
+    """→ (doc_id, chunk_idx, start_tok, n_tok, chunk_text): sliding
+    token-window chunking — the sequence-prep stage an LLM training
+    pipeline runs before packing. A chunk starts at every ``stride``
+    tokens (overlap = size - stride); the last chunks shorten at the
+    doc end; n_chunks = ceil(n_tok / stride); empty docs emit nothing.
+    ``chunk_text`` is the space-joined ANALYZED token stream (chunks
+    are over the model vocabulary, not raw bytes).
+
+    Map-only and fully vectorized: chunk token ranges become a pyarrow
+    ListArray view (gather indices built by repeat+cumsum arithmetic)
+    and ONE `binary_join_element_wise`-free `pc.binary_join` call per
+    batch rebuilds every chunk string — no per-chunk Python.
+    """
+    assert 0 < stride <= size
+    from toshi_ray.ops.textstats import _tokenize
+
+    ds = ds.select_columns([id_col, col])
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+         ("start_tok", pa.int64()), ("n_tok", pa.int64()),
+         ("chunk_text", pa.string())]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n_docs = t.num_rows
+        n_tok = np.bincount(tc.doc_index, minlength=n_docs).astype(np.int64)
+        doc_offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(n_tok, out=doc_offs[1:])
+        n_chunks = (n_tok + stride - 1) // stride
+        total = int(n_chunks.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        cdoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        # chunk_idx within doc: global arange minus each doc's first slot
+        first = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(n_chunks, out=first[1:])
+        cidx = np.arange(total, dtype=np.int64) - first[:-1][cdoc]
+        start = cidx * stride
+        clen = np.minimum(start + size, n_tok[cdoc]) - start
+        # gather indices: for chunk j, doc_offs[doc]+start .. +clen
+        offs = np.zeros(total + 1, np.int64)
+        np.cumsum(clen, out=offs[1:])
+        gather = np.arange(offs[-1], dtype=np.int64)
+        gather += np.repeat(doc_offs[:-1][cdoc] + start - offs[:-1], clen)
+        vals = tc.terms.take(pa.array(gather))
+        chunks = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        txt = pa.compute.binary_join(chunks, " ")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[cdoc]),
+                "chunk_idx": pa.array(cidx),
+                "start_tok": pa.array(start),
+                "n_tok": pa.array(clen),
+                "chunk_text": txt.cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -785,6 +785,21 @@ def q_decontam(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_chunk_tokens(sf_dir: str) -> pd.DataFrame:
+    """Sliding token-window chunking (size 32 / stride 24) — chunk
+    geometry AND the reconstructed chunk strings under the hash gate."""
+    from toshi_ray.ops.cleaning import chunk_tokens
+
+    rows = chunk_tokens(_docs_ds(sf_dir)).take_all()
+    return (
+        pd.DataFrame(rows)
+        .astype({"doc_id": "int64", "chunk_idx": "int64",
+                 "start_tok": "int64", "n_tok": "int64"})
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import token_stats
 
@@ -1456,6 +1471,19 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents ORDER BY doc_id LIMIT 100
     sql["sort_topk"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+    # sliding token chunks: start every 24 tokens, window 32, last
+    # chunks shorten; chunk_text = space-joined analyzed tokens
+    sql["chunk_tokens"] = f"""
+WITH {TOKENS_CTE},
+d AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+c AS (SELECT doc_id, tk, n, unnest(range((n + 23) // 24)) AS chunk_idx FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+       CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tok,
+       array_to_string(list_slice(tk, chunk_idx * 24 + 1, least(chunk_idx * 24 + 32, n)), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
 """
 
     sql["retention"] = """
@@ -2164,6 +2192,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "decontam": q_decontam,
     "token_stats": q_token_stats,
+    "chunk_tokens": q_chunk_tokens,
     "quality": q_quality,
     "gopher_quality": q_gopher_quality,
     "repetition": q_repetition,

@@ -1751,3 +1751,41 @@ def test_chunk_tokens_geometry_and_text(ray_session):
         got.astype({"doc_id": "int64", "chunk_idx": "int64",
                     "start_tok": "int64", "n_tok": "int64"}), want)
     assert (got[got.doc_id == 0].n_tok.tolist() == [32, 32, 22])
+
+
+def test_pack_sequences_reference(ray_session):
+    """Packing equals a single-stream Python reference: sequences cross
+    doc boundaries, short tail, empty docs skipped, partition-invariant."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.cleaning import pack_sequences
+    from toshi_ray.ops.dedup import _poly_hash31
+
+    texts = ["alpha beta gamma delta", "", "one two three", "x y z w v u"]
+    t = pa.table({"doc_id": pa.array([3, 5, 9, 11], pa.int64()),
+                  "text": pa.array(texts)})
+
+    stream = []  # (doc_id, token)
+    for d, txt in zip([3, 5, 9, 11], texts):
+        for w in re.split(r"[^0-9a-z]+", txt.lower()):
+            if w and len(w) < 40:
+                stream.append((d, w))
+    L = 5
+    want = {}
+    toks = pa.array([w for _, w in stream], pa.string())
+    hs = _poly_hash31(toks)
+    for gpos, (d, _w) in enumerate(stream):
+        s, p = gpos // L, gpos % L
+        n, fd, ld, chk = want.get(s, (0, d, d, 0))
+        want[s] = (n + 1, min(fd, d), max(ld, d), chk + int(hs[gpos]) * (p + 1))
+
+    for nparts in (1, 3):
+        got = {int(r["seq_idx"]): (int(r["n_tok"]), int(r["first_doc"]),
+                                   int(r["last_doc"]), int(r["chk"]))
+               for r in pack_sequences(
+                   ray.data.from_arrow(t).repartition(nparts), seq_len=L
+               ).take_all()}
+        assert got == want
+    assert want[2][0] == 3  # 13 tokens → last sequence is short

@@ -177,3 +177,96 @@ def chunk_tokens(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    *,
+    seq_len: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+):
+    """→ Dataset of (seq_idx, n_tok, first_doc, last_doc, chk): GPT-style
+    sequence PACKING — every doc's analyzed token stream is concatenated
+    in doc_id order and cut into fixed ``seq_len`` windows (sequences
+    cross doc boundaries; the last one may be short). ``chk`` is a
+    position-weighted content checksum Σ h31(tok)·(pos_in_seq+1) —
+    int64-exact (< 2^43), order-sensitive within the sequence yet
+    ADDITIVE across partitions, so partials combine with a plain sum.
+
+    Scale shape: global token offsets come from a per-doc count pass
+    whose cumulative sums are broadcast once (`ray.put`) — the same
+    deterministic global-indexing trick the index build uses for doc-id
+    assignment; at 10^9+ docs the gather becomes shard-level subtotal
+    prefix sums, the per-batch math is unchanged. Pass 2 is map-only +
+    ONE groupby(seq) of pre-combined partials (≤ one row per (batch,
+    seq) — never per token).
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from toshi_ray.ops.dedup import _poly_hash31
+    from toshi_ray.ops.textstats import _tokenize
+
+    ds = ds.select_columns([id_col, col])
+
+    def counts(t: pa.Table) -> pa.Table:
+        tc = _tokenize(t, col)
+        n = np.bincount(tc.doc_index, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {"doc_id": t[id_col].combine_chunks().cast(pa.int64()), "n": pa.array(n)}
+        )
+
+    rows = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    doc_ids = np.array([int(r["doc_id"]) for r in rows], np.int64)
+    n_tok = np.array([int(r["n"]) for r in rows], np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, n_tok = doc_ids[order], n_tok[order]
+    starts = np.zeros(doc_ids.size, np.int64)
+    np.cumsum(n_tok[:-1], out=starts[1:])
+    ref = ray.put((doc_ids, starts))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dids, dstarts = ray.get(ref)
+        tc = _tokenize(t, col)
+        nd = t.num_rows
+        cnt = np.bincount(tc.doc_index, minlength=nd).astype(np.int64)
+        offs = np.zeros(nd, np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        pos_in_doc = np.arange(tc.doc_index.size, dtype=np.int64) - offs[tc.doc_index]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        gstart = dstarts[np.searchsorted(dids, ids)]
+        gpos = gstart[tc.doc_index] + pos_in_doc
+        seq = gpos // seq_len
+        p = gpos % seq_len
+        h = _poly_hash31(tc.terms)
+        tok_doc = ids[tc.doc_index]
+        # pre-combine per (seq): one output row per seq touched by batch
+        uniq, inv = np.unique(seq, return_inverse=True)
+        n_part = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        chk = np.zeros(uniq.size, np.int64)
+        np.add.at(chk, inv, h * (p + 1))
+        dmin = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        dmax = np.full(uniq.size, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(dmin, inv, tok_doc)
+        np.maximum.at(dmax, inv, tok_doc)
+        return pa.table(
+            {
+                "seq_idx": pa.array(uniq),
+                "n_tok": pa.array(n_part),
+                "chk": pa.array(chk),
+                "first_doc": pa.array(dmin),
+                "last_doc": pa.array(dmax),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("seq_idx")
+        .aggregate(
+            Sum(on="n_tok", alias_name="n_tok"),
+            Min(on="first_doc", alias_name="first_doc"),
+            Max(on="last_doc", alias_name="last_doc"),
+            Sum(on="chk", alias_name="chk"),
+        )
+    )

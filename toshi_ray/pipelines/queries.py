@@ -800,6 +800,20 @@ def q_chunk_tokens(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """GPT-style sequence packing over the corpus token stream — counts,
+    doc spans and position-weighted checksums per 64-token sequence."""
+    from toshi_ray.ops.cleaning import pack_sequences
+
+    rows = pack_sequences(_docs_ds(sf_dir)).take_all()
+    return (
+        pd.DataFrame(rows)[["seq_idx", "n_tok", "first_doc", "last_doc", "chk"]]
+        .astype("int64")
+        .sort_values("seq_idx")
+        .reset_index(drop=True)
+    )
+
+
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.textstats import token_stats
 
@@ -1484,6 +1498,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tok,
        array_to_string(list_slice(tk, chunk_idx * 24 + 1, least(chunk_idx * 24 + 32, n)), ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_idx
+"""
+
+    # packing: row_number over (doc_id, token position) = the global
+    # token stream; fixed 64-token windows; position-weighted checksum
+    sql["pack_sequences"] = f"""
+WITH {TOKENS_CTE},
+pos AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS i FROM toks),
+g AS (SELECT doc_id, tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos FROM pos),
+s AS (SELECT gpos // 64 AS seq_idx, doc_id, tok, gpos % 64 AS p FROM g)
+SELECT CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(sum({_tok_hash31_sql('tok', 257)} * (p + 1)) AS BIGINT) AS chk
+FROM s GROUP BY seq_idx ORDER BY seq_idx
 """
 
     sql["retention"] = """
@@ -2193,6 +2222,7 @@ QUERIES = {
     "decontam": q_decontam,
     "token_stats": q_token_stats,
     "chunk_tokens": q_chunk_tokens,
+    "pack_sequences": q_pack_sequences,
     "quality": q_quality,
     "gopher_quality": q_gopher_quality,
     "repetition": q_repetition,

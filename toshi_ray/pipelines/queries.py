@@ -387,6 +387,41 @@ def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """Lucene-style more-like-this, composed from proven pieces: the
+    corpus-weighted TF-IDF pass picks doc 0's top-3 terms, which become
+    a BM25 should-disjunction excluding the source doc (must_not range
+    on the doc_id fast field). The SQL twin recomputes BOTH stages —
+    term selection and the rank-ordered ((s1+s2)+s3) BM25 sum."""
+    from toshi_ray.ops.textstats import tfidf_keywords
+
+    kw = tfidf_keywords(_docs_ds(sf_dir), k=3).take_all()
+    terms = [
+        r["term"]
+        for r in sorted(
+            (r for r in kw if int(r["doc_id"]) == 0), key=lambda r: int(r["rank"])
+        )
+    ]
+    s = searcher_for(sf_dir)
+    r = s.search(
+        {
+            "query": {
+                "bool": {
+                    "should": [{"term": {"text": t}} for t in terms],
+                    "must_not": [{"range": {"doc_id": {"gte": 0, "lte": 0}}}],
+                }
+            },
+            "limit": 20,
+        }
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": [int(d["doc"]["doc_id"]) for d in r["docs"]],
+            "score_x1e4": [int(np.floor(d["score"] * 10000.0)) for d in r["docs"]],
+        }
+    )
+
+
 def q_term_matches(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     return _ids_frame(s.match_doc_ids({"query": {"term": {"text": "window"}}}))
@@ -1434,6 +1469,45 @@ ORDER BY {both} DESC, q.doc_id
 LIMIT 20
 """
 
+    # more-like-this: stage 1 = doc 0's top-3 TF-IDF terms (the
+    # tfidf_keywords rule verbatim: tf*ln((N+1)/(df+1)), term-byte
+    # ties); stage 2 = BM25 should-union summed in RANK order
+    # ((s1+s2)+s3 — fixed fold, so the float sum is IEEE-identical),
+    # source doc excluded
+    sql["more_like_this"] = f"""
+WITH {TOKENS_CTE},
+{_norm_values_sql()},
+u AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+ndoc AS (SELECT count(*) AS n FROM toks),
+dfm AS (SELECT t, count(DISTINCT doc_id) AS df FROM u GROUP BY t),
+tfm AS (SELECT t, count(*) AS tf FROM u WHERE doc_id = 0 GROUP BY t),
+sel AS (SELECT t AS term, row_number() OVER (
+          ORDER BY tfm.tf * ln((ndoc.n + 1.0) / (dfm.df + 1.0)) DESC, t) AS r
+        FROM tfm JOIN dfm USING (t), ndoc
+        QUALIFY r <= 3),
+base AS (SELECT doc_id, len(tk) AS dl_raw FROM toks),
+quant AS (SELECT b.doc_id, b.dl_raw,
+            (SELECT max(val) FROM norm_table v WHERE v.val <= b.dl_raw) AS dl
+          FROM base b),
+stats AS (SELECT count(*) AS n, sum(dl_raw) AS total FROM base),
+tf AS (SELECT u.doc_id, s.r, count(*) AS tf
+       FROM u JOIN sel s ON u.t = s.term GROUP BY u.doc_id, s.r),
+tdf AS (SELECT r, count(*) AS df FROM tf GROUP BY r),
+psc AS (SELECT tf.doc_id, tf.r,
+          ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (0.25 + 0.75 * q.dl / (s.total / s.n))) AS sc
+        FROM tf JOIN tdf USING (r) JOIN quant q ON q.doc_id = tf.doc_id, stats s),
+piv AS (SELECT doc_id,
+          coalesce(max(CASE WHEN r = 1 THEN sc END), 0) AS s1,
+          coalesce(max(CASE WHEN r = 2 THEN sc END), 0) AS s2,
+          coalesce(max(CASE WHEN r = 3 THEN sc END), 0) AS s3
+        FROM psc GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor((s1 + s2 + s3) * 10000.0) AS BIGINT) AS score_x1e4
+FROM piv WHERE doc_id <> 0
+ORDER BY (s1 + s2 + s3) DESC, doc_id LIMIT 20
+"""
+
     sql["term_matches"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
@@ -2196,6 +2270,7 @@ QUERIES = {
     "raw_boost_topk": q_raw_boost_topk,
     "bool_should_topk": q_bool_should_topk,
     "term_matches": q_term_matches,
+    "more_like_this": q_more_like_this,
     "phrase_topk": q_phrase_topk,
     "phrase_matches": q_phrase_matches,
     "bool_matches": q_bool_matches,

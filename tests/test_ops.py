@@ -1653,7 +1653,10 @@ def test_asof_join_semantics(ray_session):
     left = tbl([(1, 7, 100), (2, 7, 50), (3, 7, 200), (4, 9, 10), (5, 8, 100)],
                ["event_id", "user_id", "ts_us"],
                [pa.int64()] * 3)
-    right = tbl([(7, 100, 11), (7, 150, 22), (8, 40, 33), (8, 90, 44)],
+    # user 8 has DUPLICATE (key, ts) right rows at ts 90 — the engine's
+    # deterministic rule (max v wins) must hold at any partition count
+    right = tbl([(7, 100, 11), (7, 150, 22), (8, 40, 33), (8, 90, 44),
+                 (8, 90, 29)],
                 ["user_id", "ts_us", "v"], [pa.int64()] * 3)
 
     for nparts in (1, 3):
@@ -1709,9 +1712,10 @@ def test_retention_cohorts_brute_force(ray_session):
         "user_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": pa.array([r[1] * D + 777 for r in rows], pa.timestamp("us")),
     })
-    got = {(int(r["cohort_day"]), int(r["day_offset"])): int(r["n_active"])
-           for r in retention_cohorts(
-               ray.data.from_arrow(t).repartition(3)).take_all()}
+    got = {(int(c), int(o)): int(n)
+           for c, o, n in retention_cohorts(
+               ray.data.from_arrow(t).repartition(3)
+           ).to_pandas().itertuples(index=False, name=None)}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (2, 0): 1, (2, 3): 1}
 
 

@@ -600,7 +600,7 @@ def lang_length_stats(ds, *, col: str = "text", lang_col: str = "lang"):
     )
 
 
-def hll_vocab(ds, *, col: str = "text", m: int = 64):
+def hll_vocab(ds, *, col: str = "text"):
     """→ 64-row table (bucket, register, est_x100): HyperLogLog sketch
     of the corpus's distinct-token count (Flajolet et al. 2007) — the
     approximate, merge-friendly counterpart to `vocab_stats`' exact
@@ -621,7 +621,9 @@ def hll_vocab(ds, *, col: str = "text", m: int = 64):
     from toshi_ray.ops.dedup import _poly_hash31
     from toshi_ray.ops.textstats import _tokenize
 
-    assert m == 64, "SQL twin and bit budget are fixed at m=64"
+    # m is fixed: the 56-bit rho budget, the alpha constant and the SQL
+    # twin are all derived from m=64 — a parameter here would be a trap
+    m = 64
 
     def partial(t: pa.Table) -> pa.Table:
         regs = np.zeros(m, np.int64)

@@ -82,9 +82,14 @@ def asof_join(
         v = g["v"].to_numpy()
         is_r = g["is_right"].to_numpy().astype(bool)
         # at equal ts a right row is visible to a left row iff NOT
-        # strict → rights sort first (side 0) for <=, last for <
+        # strict → rights sort first (side 0) for <=, last for <.
+        # Among DUPLICATE (key, ts) right rows the largest value wins
+        # (v ascending in the sort → the segment-max scan keeps the
+        # last one) — the deterministic tie rule the SQL twin's
+        # max(v)-at-match-ts mirrors; without it the winner would
+        # depend on union/batch arrival order.
         side = np.where(is_r, 0 if not strict else 1, 1 if not strict else 0)
-        order = np.lexsort((side, t, k))
+        order = np.lexsort((v, side, t, k))
         k, t, rid, v, is_r = k[order], t[order], rid[order], v[order], is_r[order]
         pos = np.arange(k.size, dtype=np.int64)
         last_r = np.maximum.accumulate(np.where(is_r, pos, -1))

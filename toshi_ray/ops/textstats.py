@@ -309,7 +309,8 @@ def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id"):
+def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id",
+                   only_ids: set[int] | None = None):
     """→ (doc_id, rank, term, score_x1e6): per-doc top-k TF-IDF
     keywords, ``score = tf * ln((N+1)/(df+1))``, ties broken by term
     bytes. The classic two-pass shape for corpus-weighted per-doc
@@ -360,6 +361,13 @@ def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id"):
     ref = ray.put((terms_sorted, idf))  # broadcast once, read per task
 
     def score(t: pa.Table) -> pa.Table:
+        if only_ids is not None:
+            # df comes from the FULL corpus above; the expensive per-doc
+            # scoring pass only touches the requested docs
+            t = t.filter(
+                pc.is_in(t[id_col].cast(pa.int64()),
+                         value_set=pa.array(sorted(only_ids), pa.int64()))
+            )
         vocab_sorted, idf_b = ray.get(ref)
         tc = _tokenize(t, col)
         n = t.num_rows

@@ -262,13 +262,13 @@ def retention_cohorts(
     Scale shape: keys co-locate via the coarse 64-way hash partition,
     so each partition computes its keys' cohorts AND their distinct
     (key, day) activity locally — per-partition (cohort, offset) counts
-    are ADDITIVE (a key never spans partitions), and the second groupby
-    carries only O(days²) rows per partition, never per-event rows.
-    Pure integer day arithmetic keeps the DuckDB twin hash-exact.
+    are ADDITIVE (a key never spans partitions). The partials are
+    O(days²) rows per partition, so they fold on the DRIVER (a second
+    Ray groupby would pay ~seconds of all-to-all latency to merge a few
+    KB — see CLAUDE.md). Pure integer day arithmetic keeps the DuckDB
+    twin hash-exact. Returns a pyarrow Table.
     """
     import pandas as pd
-
-    from ray.data.aggregate import Sum
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -301,11 +301,22 @@ def retention_cohorts(
             }
         )
 
-    return (
+    rows = (
         ds.select_columns([key_col, ts_col])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
-        .groupby(["cohort_day", "day_offset"])
-        .aggregate(Sum(on="n_active", alias_name="n_active"))
+        .take_all()
+    )
+    acc: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (int(r["cohort_day"]), int(r["day_offset"]))
+        acc[key] = acc.get(key, 0) + int(r["n_active"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "cohort_day": pa.array([k[0] for k in keys], pa.int64()),
+            "day_offset": pa.array([k[1] for k in keys], pa.int64()),
+            "n_active": pa.array([acc[k] for k in keys], pa.int64()),
+        }
     )

@@ -395,13 +395,8 @@ def q_more_like_this(sf_dir: str) -> pd.DataFrame:
     term selection and the rank-ordered ((s1+s2)+s3) BM25 sum."""
     from toshi_ray.ops.textstats import tfidf_keywords
 
-    kw = tfidf_keywords(_docs_ds(sf_dir), k=3).take_all()
-    terms = [
-        r["term"]
-        for r in sorted(
-            (r for r in kw if int(r["doc_id"]) == 0), key=lambda r: int(r["rank"])
-        )
-    ]
+    kw = tfidf_keywords(_docs_ds(sf_dir), k=3, only_ids={0}).take_all()
+    terms = [r["term"] for r in sorted(kw, key=lambda r: int(r["rank"]))]
     s = searcher_for(sf_dir)
     r = s.search(
         {
@@ -1141,9 +1136,9 @@ def q_retention(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.windows import retention_cohorts
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    rows = retention_cohorts(ds).take_all()
     return (
-        pd.DataFrame(rows)
+        retention_cohorts(ds)
+        .to_pandas()
         .astype("int64")
         .sort_values(["cohort_day", "day_offset"])
         .reset_index(drop=True)
@@ -1613,7 +1608,7 @@ m AS (SELECT l.event_id, l.user_id, l.t,
       FROM l)
 SELECT event_id, user_id, t AS ts_us,
        CAST(coalesce(rt, -1) AS BIGINT) AS match_ts_us,
-       CAST(coalesce((SELECT r.v FROM r WHERE r.user_id = m.user_id AND r.t = m.rt), -1) AS BIGINT) AS match_v
+       CAST(coalesce((SELECT max(r.v) FROM r WHERE r.user_id = m.user_id AND r.t = m.rt), -1) AS BIGINT) AS match_v
 FROM m ORDER BY event_id
 """
 

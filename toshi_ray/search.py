@@ -1298,6 +1298,7 @@ def make_snippet(text: str, term: str, *, context: int = 20, width: int = 80) ->
 
     Per-hit scalar work on the k winners only — never a corpus pass.
     """
+    term = term.lower()  # the fragment is casefolded; match and mark in kind
     lt = text.lower()
     p = lt.find(term)
     if p < 0:

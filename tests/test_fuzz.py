@@ -254,3 +254,94 @@ FROM toks t LEFT JOIN sigl s USING (doc_id) ORDER BY t.doc_id
 """).fetchall()
     want = [r[1] for r in rows]
     assert [list(map(int, row)) for row in sigs] == want
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Randomized as-of join vs the independent pandas.merge_asof
+    oracle (backward direction), deduped right side (merge_asof has no
+    dup-ts value rule, so the fuzz keeps (key, ts) unique)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n_l, n_r = 200, 120
+        lk = rng.integers(0, 12, n_l).astype(np.int64)
+        lt = rng.integers(0, 1000, n_l).astype(np.int64)
+        rk = rng.integers(0, 12, n_r).astype(np.int64)
+        rt = rng.integers(0, 1000, n_r).astype(np.int64)
+        right = pd.DataFrame({"user_id": rk, "ts_us": rt}).drop_duplicates(
+            ["user_id", "ts_us"]
+        )
+        # globally-unique values so the (user, v) -> ts rebuild below is
+        # unambiguous
+        right["v"] = rng.permutation(100_000)[: len(right)].astype(np.int64)
+        left = pd.DataFrame({
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": lk, "ts_us": lt,
+        })
+        got = pd.DataFrame(asof_join(
+            ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(4),
+            ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3),
+            key_col="user_id",
+        ).take_all()).sort_values("event_id").reset_index(drop=True)
+
+        want = pd.merge_asof(
+            left.sort_values("ts_us", kind="stable"),
+            right.sort_values("ts_us", kind="stable"),
+            on="ts_us", by="user_id", direction="backward",
+        ).sort_values("event_id").reset_index(drop=True)
+        exp_v = want["v"].fillna(-1).astype("int64")
+        assert (got["match_v"].to_numpy() == exp_v.to_numpy()).all(), trial
+        matched = exp_v.to_numpy() >= 0
+        # merge_asof doesn't return the matched ts; rebuild it from the
+        # right table keyed by (user, value-at-unique-(key,ts))
+        key = right.set_index(["user_id", "v"])["ts_us"]
+        exp_ts = np.full(len(want), -1, np.int64)
+        idx = list(zip(want["user_id"].to_numpy()[matched],
+                       exp_v.to_numpy()[matched]))
+        exp_ts[matched] = key.loc[idx].to_numpy()
+        assert (got["match_ts_us"].to_numpy() == exp_ts).all(), trial
+
+
+def test_pack_sequences_random_reference(ray_session):
+    """Randomized packing vs a single-stream reference at several
+    sequence lengths and partitionings."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.ops.cleaning import pack_sequences
+    from toshi_ray.ops.dedup import _poly_hash31
+
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+             for _ in range(60)]
+    ids = rng.permutation(1000)[:60].astype(np.int64)  # sparse, unsorted ids
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    for L, nparts in ((7, 1), (16, 5)):
+        stream = []
+        for d, txt in sorted(zip(ids.tolist(), texts)):
+            for w in re.split(r"[^0-9a-z]+", txt.lower()):
+                if w and len(w) < 40:
+                    stream.append((d, w))
+        hs = _poly_hash31(pa.array([w for _, w in stream], pa.string()))
+        want = {}
+        for gpos, (d, _w) in enumerate(stream):
+            s, p = gpos // L, gpos % L
+            n, fd, ld, chk = want.get(s, (0, d, d, 0))
+            want[s] = (n + 1, min(fd, d), max(ld, d), chk + int(hs[gpos]) * (p + 1))
+        got = {int(r["seq_idx"]): (int(r["n_tok"]), int(r["first_doc"]),
+                                   int(r["last_doc"]), int(r["chk"]))
+               for r in pack_sequences(
+                   ray.data.from_arrow(t).repartition(nparts), seq_len=L
+               ).take_all()}
+        assert got == want, (L, nparts)

@@ -813,3 +813,34 @@ def test_make_snippet_contract():
     assert pos == 32
     assert frag == text.lower()[11:51].replace("spark", "<b>spark</b>")
     assert make_snippet("no match", "spark") == (0, "")
+
+
+def test_suggest_prefix_topk(ray_session):
+    """Index-backed prefix suggest: df-ranked completions match a
+    brute-force tokenization at multiple segment counts, and (like
+    Lucene) tombstoned docs still count until a merge."""
+    import re
+    from collections import Counter
+
+    from toshi_ray.pipelines.merge import delete_by_term
+    from toshi_ray.sources.webpages import make_pages_batch
+
+    root = tempfile.mkdtemp(prefix="toshi_sug_")
+    build_index(pages_dataset(300, parallelism=2), page_schema(), root,
+                docs_per_segment=100)
+    s = Searcher(root, distributed=False)
+
+    tbl = make_pages_batch(np.arange(300))
+    df = Counter()
+    for txt in tbl["text"].to_pylist():
+        toks = {w for w in re.split(r"[^0-9a-z]+", txt.lower())
+                if w and len(w) < 40 and w.startswith("w0001")}
+        df.update(toks)
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert s.suggest("text", "w0001", k=5) == want
+
+    # tombstones do not change df until merge
+    victim = want[0][0]
+    delete_by_term(root, "text", victim)
+    s2 = Searcher(root, distributed=False)
+    assert s2.suggest("text", "w0001", k=5) == want

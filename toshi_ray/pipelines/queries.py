@@ -417,6 +417,17 @@ def q_more_like_this(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_suggest(sf_dir: str) -> pd.DataFrame:
+    """Prefix autocomplete from the index term dictionary: top-10
+    completions of 's' by document frequency."""
+    s = searcher_for(sf_dir)
+    pairs = s.suggest("text", "s", k=10)
+    return pd.DataFrame(
+        {"term": [t for t, _ in pairs],
+         "df": np.array([d for _, d in pairs], np.int64)}
+    )
+
+
 def q_term_matches(sf_dir: str) -> pd.DataFrame:
     s = searcher_for(sf_dir)
     return _ids_frame(s.match_doc_ids({"query": {"term": {"text": "window"}}}))
@@ -1503,6 +1514,16 @@ FROM piv WHERE doc_id <> 0
 ORDER BY (s1 + s2 + s3) DESC, doc_id LIMIT 20
 """
 
+    # suggest: the index term dict's df IS docs-containing-term, so the
+    # twin recomputes it from the corpus tokenization
+    sql["suggest"] = f"""
+WITH {TOKENS_CTE},
+u AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+d AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM u
+      WHERE t LIKE 's%' GROUP BY t)
+SELECT term, CAST(df AS BIGINT) AS df FROM d ORDER BY df DESC, term LIMIT 10
+"""
+
     sql["term_matches"] = f"""
 WITH {TOKENS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks
@@ -2266,6 +2287,7 @@ QUERIES = {
     "bool_should_topk": q_bool_should_topk,
     "term_matches": q_term_matches,
     "more_like_this": q_more_like_this,
+    "suggest": q_suggest,
     "phrase_topk": q_phrase_topk,
     "phrase_matches": q_phrase_matches,
     "bool_matches": q_bool_matches,

@@ -197,6 +197,23 @@ class SegmentGroupScorer:
     def perf_counters(self) -> dict:
         return {"blocks_decoded": self.blocks_decoded, "blocks_total": self.blocks_total}
 
+    def suggest_terms(self, field: str, prefix: str) -> list[tuple[str, int]]:
+        """All (term, df) pairs under `prefix` in this group's term
+        dicts, df summed across shard rows and segments. Returns the
+        FULL prefix-filtered set (not a local top-k): df partials sum
+        across groups, so any local cut could drop a term that is
+        top-k globally. Prefix vocabularies are tiny by construction."""
+        acc: dict[str, int] = {}
+        for r in self.readers:
+            t = r.term_dict(field)
+            m = pc.starts_with(t["term"].combine_chunks().cast(pa.string()), prefix)
+            ft = t.filter(m)
+            terms = ft["term"].to_pylist()
+            dfs = ft["df"].to_numpy(zero_copy_only=False)
+            for term, df in zip(terms, dfs):
+                acc[term] = acc.get(term, 0) + int(df)
+        return sorted(acc.items())
+
     # ---------------- stats phase ----------------
 
     def term_dfs(self, pairs: list[tuple[str, str]]) -> dict:
@@ -1258,6 +1275,19 @@ class Searcher:
         s = self._plan(body)
         stats = self._stats_for(s.query)
         return sum(self._call("count_matches", s.query, stats))
+
+    def suggest(self, field: str, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete over the INDEX term dictionary (the
+        Elasticsearch term-suggester shape): top-k completions by
+        document frequency, ties by term bytes. df is read straight
+        from the postings metadata (no postings decode) and — like
+        Lucene — counts tombstoned docs until a merge reclaims them."""
+        acc: dict[str, int] = {}
+        for pairs in self._call("suggest_terms", field, prefix):
+            for term, df in pairs:
+                acc[term] = acc.get(term, 0) + df
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
 
     def match_doc_ids(self, body: dict | Search | None = None) -> np.ndarray:
         """All matching doc_ids, globally sorted (no limit applied)."""

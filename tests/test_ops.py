@@ -1793,3 +1793,38 @@ def test_pack_sequences_reference(ray_session):
                ).take_all()}
         assert got == want
     assert want[2][0] == 3  # 13 tokens → last sequence is short
+
+
+def test_cms_topterms_overestimates_and_exact_top(ray_session):
+    """CMS estimates are >= true counts (never under), the true top-k
+    ranking equals a brute-force count, and the result is
+    partition-invariant."""
+    import re
+
+    import ray.data
+
+    from toshi_ray.ops.corpus import cms_topterms
+
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(300)]
+    weights = np.array([1.0 / (i + 1) for i in range(300)])  # zipf-ish
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=60, p=weights)) for _ in range(150)]
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts)})
+
+    from collections import Counter
+    true = Counter()
+    for s in texts:
+        true.update(w for w in re.split(r"[^0-9a-z]+", s.lower())
+                    if w and len(w) < 40)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+
+    r1 = cms_topterms(ray.data.from_arrow(t).repartition(1), k=8)
+    r5 = cms_topterms(ray.data.from_arrow(t).repartition(5), k=8)
+    assert r1.equals(r5)
+    got = list(zip(r1["term"].to_pylist(), r1["cnt"].to_pylist()))
+    assert got == want
+    est = r1["est"].to_numpy()
+    cnt = r1["cnt"].to_numpy()
+    assert (est >= cnt).all()  # the CMS one-sided error guarantee

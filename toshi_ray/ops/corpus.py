@@ -666,3 +666,90 @@ def hll_vocab(ds, *, col: str = "text"):
             "est_x100": pa.array(np.full(m, est_x100, np.int64)),
         }
     )
+
+
+def cms_topterms(ds, *, k: int = 10, col: str = "text"):
+    """→ k-row table (term, cnt, est): Count-Min sketch (Cormode &
+    Muthukrishnan 2005) over the token stream — the heavy-hitter
+    companion to `hll_vocab`'s cardinality sketch. d=4 × w=256 counters;
+    row j hashes t to ((a_j·h31(t)+b_j) mod 2³¹−1) mod w with the same
+    derandomized (a_j, b_j) family the minhash twin uses, so DuckDB
+    recomputes the whole counter table AND the per-term min-estimates
+    value-for-value (everything is integer — no float anywhere).
+
+    Scale shape: counters are ADDITIVE — each batch emits one d×w
+    partial folded on the driver (a Ray groupby would pay seconds of
+    all-to-all for a few KB); the exact top-k comparison pass rides the
+    hash-partitioned unigram counter (a term lives in exactly one
+    partition, so per-partition top-k then a 64·k driver merge is
+    provably the global top-k). CMS guarantees est ≥ true count.
+    """
+    import ray.data  # noqa: F401
+
+    from toshi_ray.ops.dedup import _M31, _poly_hash31
+    from toshi_ray.ops.textstats import _tokenize
+
+    d, w = 4, 256
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros((d, w), np.int64)
+        if t.num_rows:
+            tc = _tokenize(t, col)
+            if len(tc.terms):
+                h = _poly_hash31(tc.terms, 257)
+                for j in range(d):
+                    a = (2654435761 * (j + 1)) % _M31
+                    b = (40503 * (j + 1)) % _M31
+                    np.add.at(regs[j], ((a * h + b) % _M31) % w, 1)
+        return pa.table(
+            {
+                "j": pa.array(np.repeat(np.arange(d, dtype=np.int64), w)),
+                "bkt": pa.array(np.tile(np.arange(w, dtype=np.int64), d)),
+                "cnt": pa.array(regs.ravel()),
+            }
+        )
+
+    regs = np.zeros((d, w), np.int64)
+    for r in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        regs[int(r["j"]), int(r["bkt"])] += int(r["cnt"])
+
+    def fold_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        gc, gvoc = _codes(t["gram"])
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        words = np.asarray(gvoc.to_pylist(), dtype=object)
+        # per-partition top-k by (cnt desc, term asc) — safe: any term
+        # outside it is dominated by k better terms in its own partition
+        pick = np.lexsort((words, -tot))[:k]
+        return pa.table({"gram": pa.array(words[pick], pa.string()),
+                         "cnt": pa.array(tot[pick])})
+
+    rows = (
+        ds.select_columns([col])
+        .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: fold_top(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-int(r["cnt"]), r["gram"]))
+    top = rows[:k]
+    terms = pa.array([r["gram"] for r in top], pa.string())
+    h = _poly_hash31(terms, 257)
+    est = np.full(len(top), np.iinfo(np.int64).max, np.int64)
+    for j in range(d):
+        a = (2654435761 * (j + 1)) % _M31
+        b = (40503 * (j + 1)) % _M31
+        est = np.minimum(est, regs[j, ((a * h + b) % _M31) % w])
+    return pa.table(
+        {
+            "term": terms,
+            "cnt": pa.array(np.array([int(r["cnt"]) for r in top], np.int64)),
+            "est": pa.array(est),
+        }
+    )

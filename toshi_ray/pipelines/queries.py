@@ -1000,6 +1000,14 @@ def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
     return vocab_stats(_docs_ds(sf_dir)).to_pandas()
 
 
+def q_cms_topterms(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch heavy hitters: true top-10 token counts + their
+    CMS estimates — counter table and min-estimates all integer."""
+    from toshi_ray.ops.corpus import cms_topterms
+
+    return cms_topterms(_docs_ds(sf_dir), k=10).to_pandas()
+
+
 def q_distinct_hll(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog distinct-token sketch: 64 (bucket, register) rows +
     the raw-HLL estimate folded in bucket order — registers AND the
@@ -2140,6 +2148,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM v ORDER BY doc_id
 """
 
+    # Count-Min sketch: derandomized (a_j, b_j) row hashes; counter
+    # table + per-term min-estimates recomputed entirely in SQL
+    sql["cms_topterms"] = f"""
+WITH {TOKENS_CTE},
+u AS (SELECT unnest(tk) AS t FROM toks),
+h AS (SELECT t, {_tok_hash31_sql('t', 257)} AS hv, count(*) AS c FROM u GROUP BY t),
+rj AS (SELECT j, (2654435761 * (j + 1)) % 2147483647 AS a,
+              (40503 * (j + 1)) % 2147483647 AS b
+       FROM (SELECT unnest(range(4)) AS j)),
+cell AS (SELECT rj.j, ((rj.a * h.hv + rj.b) % 2147483647) % 256 AS bkt,
+                sum(h.c) AS cnt
+         FROM h CROSS JOIN rj GROUP BY rj.j, bkt),
+top AS (SELECT t, hv, c FROM h ORDER BY c DESC, t LIMIT 10),
+e AS (SELECT top.t AS term, top.c AS cnt, min(cell.cnt) AS est
+      FROM top CROSS JOIN rj
+      JOIN cell ON cell.j = rj.j
+        AND cell.bkt = ((rj.a * top.hv + rj.b) % 2147483647) % 256
+      GROUP BY top.t, top.c)
+SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
+FROM e ORDER BY cnt DESC, term
+"""
+
     # HyperLogLog sketch: 62-bit derandomized token hash → bucket/rho
     # registers (pure integer: bitlen via shift-filter), estimate via a
     # bucket-ordered list_reduce so the float fold is IEEE-identical
@@ -2329,6 +2359,7 @@ QUERIES = {
     "lm_surprisal": q_lm_surprisal,
     "vocab_stats": q_vocab_stats,
     "distinct_hll": q_distinct_hll,
+    "cms_topterms": q_cms_topterms,
     "lang_length_stats": q_lang_length_stats,
     "dup_span_drop": q_dup_span_drop,
     "dup_span_scrub": q_dup_span_scrub,

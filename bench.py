@@ -198,6 +198,39 @@ def bench_ops() -> dict[str, float]:
     t0 = time.perf_counter()
     dup_spans(docs, width=8).count()
     out["dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    from toshi_ray.ops.cleaning import pack_sequences
+
+    t0 = time.perf_counter()
+    pack_sequences(docs, seq_len=64).count()
+    out["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
+    from toshi_ray.ops.joins import asof_join
+
+    def _ev_side(et: str, with_id: bool):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def f(t):
+            t = t.filter(pc.equal(t["event_type"], et))
+            cols = {"user_id": t["user_id"].cast(pa.int64()),
+                    "ts_us": t["ts"].cast(pa.int64())}
+            if with_id:
+                cols["event_id"] = t["event_id"].cast(pa.int64())
+            else:
+                cols["v"] = pa.array(
+                    np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000.0)
+                    .astype(np.int64))
+            return pa.table(cols)
+
+        return ray.data.read_parquet(
+            os.path.join(SF_DIR, "events.parquet")
+        ).map_batches(f, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    asof_join(_ev_side("purchase", True), _ev_side("signup", False),
+              key_col="user_id").count()
+    out["asof_join"] = round(time.perf_counter() - t0, 3)
     return out
 
 

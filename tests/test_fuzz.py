@@ -345,3 +345,48 @@ def test_pack_sequences_random_reference(ray_session):
                    ray.data.from_arrow(t).repartition(nparts), seq_len=L
                ).take_all()}
         assert got == want, (L, nparts)
+
+
+def test_funnel_random_vs_bruteforce(ray_session):
+    """Randomized funnel vs a per-user Python reference (anchored-first,
+    strictly-after, windowed completion) across partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.ops.windows import funnel
+
+    rng = np.random.default_rng(47)
+    types = np.array(["view", "click", "purchase", "error"])
+    n = 600
+    users = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.choice(10_000, size=n, replace=False).astype(np.int64)  # unique ts
+    ets = types[rng.integers(0, 4, n)]
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(ets, pa.string())})
+
+    want = {}
+    for u in np.unique(users):
+        m = users == u
+        ut, ue = ts[m], ets[m]
+        o = np.argsort(ut)
+        ut, ue = ut[o], ue[o]
+        t1 = next((int(x) for x, e in zip(ut, ue) if e == "view"), None)
+        if t1 is None:
+            continue
+        t2 = next((int(x) for x, e in zip(ut, ue) if e == "click" and x > t1), None)
+        t3 = None
+        if t2 is not None:
+            t3 = next((int(x) for x, e in zip(ut, ue)
+                       if e == "purchase" and x > t2), None)
+        want[int(u)] = (t1, t2 if t2 is not None else -1,
+                        t3 if t3 is not None else -1,
+                        int(t3 is not None))  # all ts < 1 s → window=1s trivially holds
+
+    for nparts in (1, 4):
+        got = {int(r["user_id"]): (int(r["t1_us"]), int(r["t2_us"]),
+                                   int(r["t3_us"]), int(r["completed"]))
+               for r in funnel(ray.data.from_arrow(t).repartition(nparts),
+                               window_secs=1).take_all()}
+        assert got == want, nparts

@@ -1828,3 +1828,42 @@ def test_cms_topterms_overestimates_and_exact_top(ray_session):
     est = r1["est"].to_numpy()
     cnt = r1["cnt"].to_numpy()
     assert (est >= cnt).all()  # the CMS one-sided error guarantee
+
+
+def test_minhash_probe_equals_oneshot_cross_pairs(ray_session, docs):
+    """Probing a persisted index with a new batch finds exactly the
+    cross-side subset of the one-shot LSH pipeline over the union, with
+    identical agreement estimates — and never re-reads the ref text."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from toshi_ray.ops.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_probe,
+    )
+
+    split = 25
+
+    def side(lo):
+        def f(t):
+            ids = t["doc_id"].combine_chunks().cast(pa.int64())
+            return t.filter(pc.less(ids, split) if lo else pc.greater_equal(ids, split))
+        return f
+
+    path = tempfile.mkdtemp(prefix="toshi_mhidx_")
+    build_minhash_index(docs.map_batches(side(True), batch_format="pyarrow"), path)
+    got = pd.DataFrame(minhash_probe(
+        docs.map_batches(side(False), batch_format="pyarrow"), path,
+        threshold=0.3).take_all())
+    got = (got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+           if len(got) else got)
+
+    ref = pd.DataFrame(minhash_lsh_pairs(docs, threshold=0.3).take_all())
+    ref = ref[(ref.id_a < split) & (ref.id_b >= split)]
+    ref = ref.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(ref) and len(ref) > 0
+    assert (got[["id_a", "id_b"]].to_numpy() == ref[["id_a", "id_b"]].to_numpy()).all()
+    assert np.allclose(got["est_jaccard"], ref["est_jaccard"])

@@ -510,6 +510,43 @@ class MinHasher:
         )
 
 
+def _band_explode_fn(mh: "MinHasher", bands: int, rows_per_band: int,
+                     perm_hash: str, id_col: str):
+    """The slim LSH band-shuffle row builder shared by
+    `minhash_lsh_pairs` and the persisted `build_minhash_index`:
+    per doc only (band, band_hash, part, id) rows leave the batch."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sigs = mh.signatures(t)
+        band_view = sigs.reshape(n, bands, rows_per_band)
+        if perm_hash == "sql":
+            # 62-bit double polynomial over band values (< 2^31 each):
+            # collision-free enough to mirror SQL's exact slice grouping
+            v = band_view.astype(np.int64)
+            b1, b2 = v[:, :, 0].copy(), v[:, :, 0].copy()
+            for j in range(1, rows_per_band):
+                b1 = (b1 * _SHINGLE_B + v[:, :, j]) % _M31
+                b2 = (b2 * np.int64(131) + v[:, :, j]) % _M31
+            bh = b1.astype(np.uint64) | (b2.astype(np.uint64) << _U(31))
+        else:
+            bh = band_view[:, :, 0].astype(np.uint64)
+            for j in range(1, rows_per_band):
+                bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), bands)
+        bh_flat = bh.reshape(-1)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bh": pa.array(bh_flat),
+                "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
+                id_col: pa.array(ids),
+            }
+        )
+
+    return explode
+
+
 def minhash_lsh_pairs(
     ds,
     col: str = "text",
@@ -541,34 +578,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     ds = ds.select_columns([id_col, col])  # projection pushes into the read
     mh = MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash)
-
-    def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        sigs = mh.signatures(t)
-        band_view = sigs.reshape(n, bands, rows_per_band)
-        if perm_hash == "sql":
-            # 62-bit double polynomial over band values (< 2^31 each):
-            # collision-free enough to mirror SQL's exact slice grouping
-            v = band_view.astype(np.int64)
-            b1, b2 = v[:, :, 0].copy(), v[:, :, 0].copy()
-            for j in range(1, rows_per_band):
-                b1 = (b1 * _SHINGLE_B + v[:, :, j]) % _M31
-                b2 = (b2 * np.int64(131) + v[:, :, j]) % _M31
-            bh = b1.astype(np.uint64) | (b2.astype(np.uint64) << _U(31))
-        else:
-            bh = band_view[:, :, 0].astype(np.uint64)
-            for j in range(1, rows_per_band):
-                bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), bands)
-        bh_flat = bh.reshape(-1)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bh": pa.array(bh_flat),
-                "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
-                id_col: pa.array(ids),
-            }
-        )
+    explode = _band_explode_fn(mh, bands, rows_per_band, perm_hash, id_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -1512,3 +1522,160 @@ def dup_span_scrub(ds, col: str = "text", id_col: str = "doc_id", *,
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def build_minhash_index(
+    ds,
+    path: str,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    perm_hash: str = "fast",
+) -> dict:
+    """Persist a corpus's LSH band table + signature blobs so LATER
+    batches can be near-dup-checked against it WITHOUT re-signaturing
+    the corpus — the incremental-crawl dedup shape (every new crawl
+    probes the standing index; the corpus is only ever signatured once).
+
+    Layout: ``path/bands/`` parquet (band, bh, part, id) — the same slim
+    rows the one-shot LSH shuffle uses; ``path/sigs/`` parquet
+    (k, blob) signature blobs for the agreement estimate;
+    ``path/meta.json`` pins the parameters so a probe with mismatched
+    hashing fails loudly instead of silently finding nothing.
+    """
+    import json
+    import os
+
+    import ray.data  # noqa: F401
+
+    rows_per_band = num_perm // bands
+    mh = MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash)
+    explode = _band_explode_fn(mh, bands, rows_per_band, perm_hash, id_col)
+    ds = ds.select_columns([id_col, col])
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
+        return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "bands")
+    )
+    ds.map_batches(to_blob, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "sigs")
+    )
+    meta = {"col": col, "id_col": id_col, "shingle": shingle,
+            "num_perm": num_perm, "bands": bands, "perm_hash": perm_hash}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_probe(
+    new_ds,
+    path: str,
+    *,
+    threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+):
+    """→ Dataset of (id_a, id_b, est_jaccard): near-dup candidates of
+    the NEW batch against a persisted `build_minhash_index` corpus —
+    id_a is the indexed (reference) doc, id_b the new doc.
+
+    One LSH shuffle: the stored band table streams straight off parquet
+    and unions with the new batch's exploded bands (tagged by side);
+    per-bucket pairs are CROSS-side only. The agreement estimate joins
+    the stored reference blobs and the new batch's recomputed
+    signatures through the standard reduce-side blob join — the
+    reference corpus text is never read, let alone re-signatured.
+    Oversized ref×new buckets fall back to pairing every new doc with
+    the smallest reference id (logged star fallback, never silent).
+    """
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    col, id_col = meta["col"], meta["id_col"]
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    rows_per_band = num_perm // bands
+    mh = MinHasher(col, id_col, meta["shingle"], num_perm,
+                   perm_hash=meta["perm_hash"])
+    explode = _band_explode_fn(mh, bands, rows_per_band,
+                               meta["perm_hash"], id_col)
+    new_ds = new_ds.select_columns([id_col, col])
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
+        return f
+
+    ref_bands = ray.data.read_parquet(os.path.join(path, "bands")).map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    new_bands = new_ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ref = np.sort(g.loc[g["side"] == 0, id_col].to_numpy())
+        new = np.sort(g.loc[g["side"] == 1, id_col].to_numpy())
+        if ref.size == 0 or new.size == 0:
+            return _empty_pairs(None)
+        if ref.size * new.size > bucket_cap * bucket_cap:
+            _LOG.warning(
+                "minhash_probe: bucket of %d ref x %d new exceeds cap; "
+                "star fallback to min ref id", ref.size, new.size,
+            )
+            return pd.DataFrame({"id_a": np.full(new.size, ref[0]),
+                                 "id_b": new})
+        ia = np.repeat(np.arange(ref.size), new.size)
+        ib = np.tile(np.arange(new.size), ref.size)
+        return pd.DataFrame({"id_a": ref[ia], "id_b": new[ib]})
+
+    cand = _pairs_by_partition(
+        ref_bands.union(new_bands), ["band", "bh"], cross_pairs, None,
+        dedupe_stage=True,
+    )
+
+    def to_blob_new(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
+        return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
+
+    ref_blobs = ray.data.read_parquet(os.path.join(path, "sigs"))
+    new_blobs = new_ds.map_batches(to_blob_new, batch_format="pyarrow")
+    with_a = _attach_blob(cand, ref_blobs, "id_a", {"id_b": pa.int64()}, "sig_a")
+    with_b = _attach_blob(
+        with_a, new_blobs, "id_b",
+        {"id_a": pa.int64(), "sig_a": pa.large_binary()}, "sig_b",
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        sa = _blob_fixed_matrix(t["sig_a"], num_perm)
+        sb = _blob_fixed_matrix(t["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks().cast(pa.int64()).filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().cast(pa.int64()).filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    return with_b.map_batches(estimate, batch_format="pyarrow")

@@ -120,13 +120,20 @@ ORDER BY doc_id
 """
 
 
-def _minhash_ctes(num_perm: int = 64, bands: int = 16) -> str:
+def _minhash_ctes(num_perm: int = 64, bands: int = 16,
+                  split: int | None = None) -> str:
     """WITH-chain of the derandomized minhash pipeline, ending at
     `scored` (id_a, id_b, n_agree). Shared by the signature twin
-    (`minhash_sql`) and the composed LSH→verify twin
-    (`minhash_verify_sql`)."""
+    (`minhash_sql`), the composed LSH→verify twin
+    (`minhash_verify_sql`) and — with ``split`` — the incremental-probe
+    twin (candidates restricted to ref docs < split × new docs >= split,
+    mirroring `minhash_probe` against a `build_minhash_index` corpus)."""
     rpb = num_perm // bands
     sentinel = 2147483647
+    if split is None:
+        cand_rule = "AND x.doc_id < y.doc_id"
+    else:
+        cand_rule = f"AND x.doc_id < {split} AND y.doc_id >= {split}"
     return f"""{TOKENS_CTE},
 th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
 sh AS (SELECT doc_id,
@@ -149,7 +156,7 @@ bnd AS (SELECT doc_id, b, list_slice(sig, b * {rpb} + 1, b * {rpb} + {rpb}) AS b
         FROM allsig, (SELECT unnest(range({bands})) AS b)),
 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          FROM bnd x JOIN bnd y ON x.b = y.b AND x.bsig = y.bsig
-                                  AND x.doc_id < y.doc_id),
+                                  {cand_rule}),
 scored AS (SELECT c.id_a, c.id_b,
              len(list_filter(range(1, {num_perm} + 1),
                              i -> sa.sig[i] = sb.sig[i])) AS n_agree
@@ -543,6 +550,50 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     rows = minhash_lsh_pairs(
         _docs_ds(sf_dir), threshold=0.3, num_perm=64, bands=16, perm_hash="sql",
         bucket_cap=1 << 40,
+    ).take_all()
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "n_agree": pd.Series(dtype="int64")})
+    df = pd.DataFrame(rows)
+    df["n_agree"] = np.rint(df["est_jaccard"] * 64).astype("int64")
+    return (
+        df.drop(columns=["est_jaccard"])
+        .astype({"id_a": "int64", "id_b": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup: docs < 250 are the INDEXED corpus (band
+    table + sig blobs persisted once via build_minhash_index), docs
+    >= 250 the new batch probing it. The twin recomputes both sides'
+    derandomized signatures and restricts candidates cross-side."""
+    from toshi_ray.ops.dedup import build_minhash_index, minhash_probe
+
+    split = 250
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(CACHE_ROOT, f"mhidx-{key}")
+
+    def side(lo: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().cast(pa.int64())
+            m = pa.compute.less(ids, split) if lo else pa.compute.greater_equal(ids, split)
+            return t.filter(m)
+        return f
+
+    if not os.path.isdir(os.path.join(path, "sigs")):
+        build_minhash_index(
+            _docs_ds(sf_dir).map_batches(side(True), batch_format="pyarrow"),
+            path, perm_hash="sql",
+        )
+    rows = minhash_probe(
+        _docs_ds(sf_dir).map_batches(side(False), batch_format="pyarrow"),
+        path, threshold=20 / 64,
+        # the SQL twin does full per-bucket cross joins — cap must not
+        # trigger at oracle scales (star fallback would diverge)
+        bucket_cap=1 << 20,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -1736,6 +1787,12 @@ FROM documents GROUP BY text ORDER BY doc_id
     sql["simhash"] = simhash62_sql()
     sql["dedup_minhash"] = minhash_sql()
     sql["minhash_verify"] = minhash_verify_sql()
+    sql["dedup_incremental"] = f"""
+WITH {_minhash_ctes(64, 16, split=250)}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_agree AS BIGINT) AS n_agree
+FROM scored WHERE n_agree >= 20 ORDER BY id_a, id_b
+"""
     sql["dedup_cluster"] = dedup_cluster_sql()
     sql["fingerprint"] = fingerprint_sql()
 
@@ -2332,6 +2389,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "minhash_verify": q_minhash_verify,
     "dedup_cluster": q_dedup_cluster,
+    "dedup_incremental": q_dedup_incremental,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_near_dup": q_embed_near_dup,

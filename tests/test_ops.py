@@ -1867,3 +1867,41 @@ def test_minhash_probe_equals_oneshot_cross_pairs(ray_session, docs):
     assert len(got) == len(ref) and len(ref) > 0
     assert (got[["id_a", "id_b"]].to_numpy() == ref[["id_a", "id_b"]].to_numpy()).all()
     assert np.allclose(got["est_jaccard"], ref["est_jaccard"])
+
+
+def test_pq_trained_recall_beats_hash_codebook(ray_session, emb):
+    """The trained per-subspace codebook must recover most exact
+    top-10 neighbors (recall@10) and beat the data-free hash codebook;
+    results are partition-invariant."""
+    from toshi_ray.ops.similarity import (
+        brute_force_topk,
+        hash_pq_codebook,
+        pq_topk,
+        train_pq_codebook,
+    )
+
+    head = emb.limit(5).take_all()
+    q = np.stack([r["embedding"] for r in head])
+    qids = np.array([r["vec_id"] for r in head])
+
+    exact = brute_force_topk(emb, q, k=10, query_ids=qids)
+    trained = train_pq_codebook(emb, n_sub=8, n_cent=16)
+    got_t = pq_topk(emb, q, trained, k=10, query_ids=qids)
+    got_h = pq_topk(emb.repartition(4), q, hash_pq_codebook(), k=10, query_ids=qids)
+    got_h1 = pq_topk(emb.repartition(1), q, hash_pq_codebook(), k=10, query_ids=qids)
+    pd.testing.assert_frame_equal(
+        got_h.reset_index(drop=True), got_h1.reset_index(drop=True))
+
+    def recall(approx):
+        r = 0.0
+        for qid in qids:
+            a = set(approx[approx.query_id == qid].vec_id)
+            e = set(exact[exact.query_id == qid].vec_id)
+            r += len(a & e) / len(e)
+        return r / len(qids)
+
+    r_t, r_h = recall(got_t), recall(got_h)
+    # synthetic gaussian embeddings have little cluster structure — an
+    # 8x16 codebook is coarse; the property is that training HELPS
+    assert r_t >= 0.3, r_t
+    assert r_t >= r_h + 0.1, (r_t, r_h)

@@ -595,3 +595,147 @@ def semantic_decontam(
     return train_ds.select_columns([id_col, vec_col]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the vector-MEMORY scale path:
+# 64-dim float32 vectors compress to n_sub uint8 codes (8 B/vec here), and
+# queries scan codes against a tiny per-query lookup table (ADC) instead of
+# touching raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_seq(v: np.ndarray) -> np.ndarray:
+    """L2-normalize with a SEQUENTIAL sum-of-squares fold (dim order) so
+    the SQL twin's list_reduce reproduces the exact doubles — np.linalg
+    .norm's pairwise summation would differ in the last ulp."""
+    n2 = np.zeros(v.shape[0], np.float64)
+    for j in range(v.shape[1]):
+        n2 = n2 + v[:, j] * v[:, j]
+    return v / np.sqrt(np.maximum(n2, 1e-24))[:, None]
+
+
+def hash_pq_codebook(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8) -> np.ndarray:
+    """Deterministic DATA-FREE codebook: b[s,c,j] = ((s·1009 + c·101 +
+    j·17 + 1)·2654435761 mod 2³¹−1)/(2³¹−1) − 0.5 — integer arithmetic
+    both engines compute bit-identically, so the DuckDB twin derives the
+    whole codebook in a CTE (the `token_hash="sql"` pattern). Production
+    uses `train_pq_codebook`; this mode exists so the ADC machinery sits
+    under the hash gate at ANY scale factor."""
+    s = np.arange(n_sub, dtype=np.int64)[:, None, None]
+    c = np.arange(n_cent, dtype=np.int64)[None, :, None]
+    j = np.arange(sub_dim, dtype=np.int64)[None, None, :]
+    a = ((s * 1009 + c * 101 + j * 17 + 1) * 2654435761) % 2147483647
+    return a / 2147483647.0 - 0.5
+
+
+def train_pq_codebook(
+    ds,
+    *,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Per-subspace k-means on a driver-side sample of the normalized
+    vectors → (n_sub, n_cent, sub_dim) codebook. Deterministic (seeded
+    init); the codebook is KBs — the one legitimately driver-side step,
+    broadcast once."""
+    head = ds.limit(sample).take_all()
+    v = _normalize_seq(np.stack([r[vec_col] for r in head]).astype(np.float64))
+    d = v.shape[1]
+    assert d % n_sub == 0, "dim must divide into subspaces"
+    sub = d // n_sub
+    rng = np.random.default_rng(seed)
+    book = np.zeros((n_sub, n_cent, sub), np.float64)
+    for s in range(n_sub):
+        x = v[:, s * sub : (s + 1) * sub]
+        k = min(n_cent, x.shape[0])
+        cent = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    cent[c] = x[m].mean(axis=0)
+        book[s, :k] = cent
+    return book
+
+
+def pq_assign(v: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """→ (n, n_sub) int64 codes: per subspace the L2-nearest centroid,
+    ties to the smallest index. Distances accumulate SEQUENTIALLY over
+    dims (matching the SQL fold), vectorized across vectors/centroids."""
+    n_sub, n_cent, sub = book.shape
+    codes = np.empty((v.shape[0], n_sub), np.int64)
+    for s in range(n_sub):
+        x = v[:, s * sub : (s + 1) * sub]
+        dist = np.zeros((v.shape[0], n_cent), np.float64)
+        for j in range(sub):
+            diff = x[:, j, None] - book[s, :, j][None, :]
+            dist = dist + diff * diff
+        codes[:, s] = np.argmin(dist, axis=1)
+    return codes
+
+
+def pq_topk(
+    ds,
+    query_vecs: np.ndarray,
+    codebook: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """→ (query_id, vec_id, score): ADC top-k — every batch quantizes
+    its vectors to codes and scores them by LUT GATHER, never a matmul
+    against raw floats. The per-query LUT (n_sub × n_cent inner
+    products) and the codebook broadcast once; per batch the work is
+    one code assignment + n_sub gathers. At 100 TB the codes table is
+    ~8 B/vector — object-store resident where raw vectors are not.
+
+    Determinism contract: normalization, LUT entries and the final
+    score all use sequential dim-order folds, so the DuckDB twin (which
+    derives the `hash_pq_codebook` in SQL) reproduces every score
+    bit-for-bit. Production accuracy comes from `train_pq_codebook`
+    (recall pinned by pytest); the hash codebook exists for the oracle.
+    """
+    import ray
+
+    n_sub, n_cent, sub = codebook.shape
+    q = _normalize_seq(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(q.shape[0])
+    # LUT[qi, s, c] = q_s · book[s, c], sequential over j
+    lut = np.zeros((q.shape[0], n_sub, n_cent), np.float64)
+    for s in range(n_sub):
+        for j in range(sub):
+            lut[:, s, :] = lut[:, s, :] + (
+                q[:, s * sub + j, None] * codebook[s, :, j][None, :]
+            )
+    ref = ray.put((codebook, lut, qids))
+
+    def score(t: pa.Table) -> pa.Table:
+        book, lut_b, qids_b = ray.get(ref)
+        v = _normalize_seq(_vec_matrix(t[vec_col]))
+        codes = pq_assign(v, book)
+        sc = np.zeros((lut_b.shape[0], v.shape[0]), np.float64)
+        for s in range(book.shape[0]):
+            sc = sc + lut_b[:, s, :][:, codes[:, s]]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rows_q, cand = _local_topk_rows(sc, ids, k)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_b[rows_q]),
+                id_col: pa.array(ids[cand]),
+                "score": pa.array(sc[rows_q, cand]),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

@@ -834,6 +834,18 @@ def q_semantic_decontam(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k with the SQL-derivable hash
+    codebook: assignment, per-query LUTs and the code-gather scan all
+    reproduce bit-for-bit in DuckDB (sequential dim-order folds on both
+    sides). The trained-codebook production path is pinned by pytest."""
+    from toshi_ray.ops.similarity import hash_pq_codebook, pq_topk
+
+    q, qids = _head_queries(sf_dir)
+    df = pq_topk(_emb_ds(sf_dir), q, hash_pq_codebook(), k=10, query_ids=qids)
+    return _quantized_ann_frame(df)
+
+
 def q_text_normalize(sf_dir: str) -> pd.DataFrame:
     from toshi_ray.ops.cleaning import normalize_text
 
@@ -2252,6 +2264,58 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM regs, est ORDER BY bucket
 """
 
+    # PQ ADC: the hash codebook derives IN SQL (integer arithmetic);
+    # normalization / assignment / LUT / score are all sequential folds
+    # mirroring the engine's loops bit-for-bit
+    sql["ann_pq"] = """
+WITH cb AS (
+  SELECT s, c, j,
+         ((((s * 1009 + c * 101 + j * 17 + 1) * 2654435761) % 2147483647)
+          / 2147483647.0) - 0.5 AS b
+  FROM (SELECT unnest(range(8)) AS s),
+       (SELECT unnest(range(16)) AS c),
+       (SELECT unnest(range(8)) AS j)
+),
+cbl AS (SELECT s, c, list(b ORDER BY j) AS bl FROM cb GROUP BY s, c),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+n AS (SELECT vec_id,
+        list_transform(emb, x -> x / sqrt(greatest(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(emb, y -> y * y)), (a, b) -> a + b), 1e-24))) AS v
+      FROM e),
+d AS (SELECT n.vec_id, cbl.s, cbl.c,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8),
+            i -> (v[cbl.s * 8 + i + 1] - bl[i + 1])
+                 * (v[cbl.s * 8 + i + 1] - bl[i + 1]))),
+          (a, b) -> a + b) AS dist
+      FROM n, cbl),
+cd AS (SELECT vec_id, s, c FROM (
+         SELECT vec_id, s, c,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+         FROM d) WHERE rn = 1),
+qn AS (SELECT vec_id AS qid, v AS qv FROM n ORDER BY vec_id LIMIT 5),
+lut AS (SELECT qn.qid, cbl.s, cbl.c,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(8), i -> qv[cbl.s * 8 + i + 1] * bl[i + 1])),
+           (a, b) -> a + b) AS val
+        FROM qn, cbl),
+sub AS (SELECT l.qid, cd.vec_id, l.s, l.val
+        FROM cd JOIN lut l ON l.s = cd.s AND l.c = cd.c),
+sc AS (SELECT qid, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY s)),
+                     (a, b) -> a + b) AS score
+       FROM sub GROUP BY qid, vec_id),
+r AS (SELECT qid AS query_id, vec_id, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(score * 1000.0 + 0.5) AS BIGINT) AS score_x1e3
+FROM r WHERE rn <= 10
+ORDER BY query_id, score_x1e3 DESC, vec_id
+"""
+
     # embedding-space decontamination: quantized max-cos per training
     # vector vs every label-0 (benchmark) vector; nearest id via
     # row_number over the QUANTIZED score so an ulp cannot flip it
@@ -2396,6 +2460,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "ann_pq": q_ann_pq,
     "semantic_decontam": q_semantic_decontam,
     "text_normalize": q_text_normalize,
     "pii_redact": q_pii_redact,

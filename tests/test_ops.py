@@ -1905,3 +1905,34 @@ def test_pq_trained_recall_beats_hash_codebook(ray_session, emb):
     # 8x16 codebook is coarse; the property is that training HELPS
     assert r_t >= 0.3, r_t
     assert r_t >= r_h + 0.1, (r_t, r_h)
+
+
+def test_minhash_index_rebuild_clears_stale(ray_session, docs):
+    """Rebuilding into the same path must fully replace the old index —
+    no mixed-scheme band/sig rows — and version-mismatched indexes are
+    refused by the probe."""
+    import json
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from toshi_ray.ops.dedup import build_minhash_index, minhash_probe
+
+    ref = docs.limit(30)
+    path = tempfile.mkdtemp(prefix="toshi_mhidx2_")
+    build_minhash_index(ref, path, num_perm=32, bands=8)
+    build_minhash_index(ref, path)  # rebuild with defaults 64/16
+    import glob
+    n_band_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                      for f in glob.glob(f"{path}/bands/*.parquet"))
+    assert n_band_rows == 30 * 16  # only the second build's rows
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    assert meta["num_perm"] == 64 and "version" in meta
+
+    meta["version"] = -1
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="version"):
+        minhash_probe(docs.limit(5), path)

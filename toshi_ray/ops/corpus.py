@@ -677,9 +677,11 @@ def cms_topterms(ds, *, k: int = 10, col: str = "text"):
     recomputes the whole counter table AND the per-term min-estimates
     value-for-value (everything is integer — no float anywhere).
 
-    Scale shape: counters are ADDITIVE — each batch emits one d×w
-    partial folded on the driver (a Ray groupby would pay seconds of
-    all-to-all for a few KB); the exact top-k comparison pass rides the
+    Scale shape: ONE tokenization pass — the per-batch distinct
+    (gram, cnt) combiner feeds BOTH the CMS counters (hash the gram,
+    add its count) and the exact top-k. Counters are ADDITIVE: each
+    batch's d×w partial folds on the driver (a Ray groupby would pay
+    seconds of all-to-all for a few KB); the exact top-k rides the
     hash-partitioned unigram counter (a term lives in exactly one
     partition, so per-partition top-k then a 64·k driver merge is
     provably the global top-k). CMS guarantees est ≥ true count.
@@ -687,20 +689,23 @@ def cms_topterms(ds, *, k: int = 10, col: str = "text"):
     import ray.data  # noqa: F401
 
     from toshi_ray.ops.dedup import _M31, _poly_hash31
-    from toshi_ray.ops.textstats import _tokenize
 
     d, w = 4, 256
+    partials = (
+        ds.select_columns([col])
+        .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
+        .materialize()  # distinct grams per batch — both consumers read it
+    )
 
-    def partial(t: pa.Table) -> pa.Table:
+    def cms_partial(t: pa.Table) -> pa.Table:
         regs = np.zeros((d, w), np.int64)
         if t.num_rows:
-            tc = _tokenize(t, col)
-            if len(tc.terms):
-                h = _poly_hash31(tc.terms, 257)
-                for j in range(d):
-                    a = (2654435761 * (j + 1)) % _M31
-                    b = (40503 * (j + 1)) % _M31
-                    np.add.at(regs[j], ((a * h + b) % _M31) % w, 1)
+            h = _poly_hash31(t["gram"].combine_chunks().cast(pa.string()), 257)
+            cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for j in range(d):
+                a = (2654435761 * (j + 1)) % _M31
+                b = (40503 * (j + 1)) % _M31
+                np.add.at(regs[j], ((a * h + b) % _M31) % w, cnt)
         return pa.table(
             {
                 "j": pa.array(np.repeat(np.arange(d, dtype=np.int64), w)),
@@ -710,9 +715,7 @@ def cms_topterms(ds, *, k: int = 10, col: str = "text"):
         )
 
     regs = np.zeros((d, w), np.int64)
-    for r in ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow"
-    ).take_all():
+    for r in partials.map_batches(cms_partial, batch_format="pyarrow").take_all():
         regs[int(r["j"]), int(r["bkt"])] += int(r["cnt"])
 
     def fold_top(t: pa.Table) -> pa.Table:
@@ -730,8 +733,7 @@ def cms_topterms(ds, *, k: int = 10, col: str = "text"):
                          "cnt": pa.array(tot[pick])})
 
     rows = (
-        ds.select_columns([col])
-        .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
+        partials
         .groupby("part")
         .map_groups(lambda t: fold_top(t.drop_columns(["part"])),
                     batch_format="pyarrow")

@@ -32,6 +32,11 @@ _M31 = np.int64((1 << 31) - 1)  # Mersenne-31 — BIGINT-safe in the SQL twins
 _LOG = logging.getLogger("toshi_ray.dedup")
 
 DEFAULT_BUCKET_CAP = 512
+
+# persisted minhash-index layout version (meta.json): bump on any change
+# to the signature scheme, band hashing or blob layout — probes hard-fail
+# on mismatch instead of comparing incompatible signatures
+MINHASH_INDEX_VERSION = 1
 # minhash raw candidate pairs are gathered to the driver for the
 # single-shuffle estimate path only below this count (~16 B/pair →
 # ~80 MB at the cap); above it the fully distributed dedupe + reduce-
@@ -510,39 +515,73 @@ class MinHasher:
         )
 
 
+def _band_rows(sigs: np.ndarray, ids: np.ndarray, bands: int,
+               rows_per_band: int, perm_hash: str, id_col: str) -> pa.Table:
+    """(band, band_hash, part, id) rows from a signature matrix — the
+    slim LSH shuffle payload (~24 B/doc/band)."""
+    n = sigs.shape[0]
+    band_view = sigs.reshape(n, bands, rows_per_band)
+    if perm_hash == "sql":
+        # 62-bit double polynomial over band values (< 2^31 each):
+        # collision-free enough to mirror SQL's exact slice grouping
+        v = band_view.astype(np.int64)
+        b1, b2 = v[:, :, 0].copy(), v[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            b1 = (b1 * _SHINGLE_B + v[:, :, j]) % _M31
+            b2 = (b2 * np.int64(131) + v[:, :, j]) % _M31
+        bh = b1.astype(np.uint64) | (b2.astype(np.uint64) << _U(31))
+    else:
+        bh = band_view[:, :, 0].astype(np.uint64)
+        for j in range(1, rows_per_band):
+            bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
+    bh_flat = bh.reshape(-1)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bh": pa.array(bh_flat),
+            "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
+            id_col: pa.array(np.repeat(ids, bands)),
+        }
+    )
+
+
 def _band_explode_fn(mh: "MinHasher", bands: int, rows_per_band: int,
                      perm_hash: str, id_col: str):
-    """The slim LSH band-shuffle row builder shared by
-    `minhash_lsh_pairs` and the persisted `build_minhash_index`:
-    per doc only (band, band_hash, part, id) rows leave the batch."""
+    """The band-row builder over raw documents, shared by
+    `minhash_lsh_pairs` and `minhash_probe`'s new-batch side."""
 
     def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        sigs = mh.signatures(t)
-        band_view = sigs.reshape(n, bands, rows_per_band)
-        if perm_hash == "sql":
-            # 62-bit double polynomial over band values (< 2^31 each):
-            # collision-free enough to mirror SQL's exact slice grouping
-            v = band_view.astype(np.int64)
-            b1, b2 = v[:, :, 0].copy(), v[:, :, 0].copy()
-            for j in range(1, rows_per_band):
-                b1 = (b1 * _SHINGLE_B + v[:, :, j]) % _M31
-                b2 = (b2 * np.int64(131) + v[:, :, j]) % _M31
-            bh = b1.astype(np.uint64) | (b2.astype(np.uint64) << _U(31))
-        else:
-            bh = band_view[:, :, 0].astype(np.uint64)
-            for j in range(1, rows_per_band):
-                bh = _mix(bh * _U(0x100000001B3) + band_view[:, :, j])
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), bands)
-        bh_flat = bh.reshape(-1)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bh": pa.array(bh_flat),
-                "part": pa.array((bh_flat % _U(N_PAIR_PARTS)).astype(np.int64)),
-                id_col: pa.array(ids),
-            }
+        return _band_rows(
+            mh.signatures(t), t[id_col].to_numpy(zero_copy_only=False),
+            bands, rows_per_band, perm_hash, id_col,
         )
+
+    return explode
+
+
+def _sig_blob_fn(mh: "MinHasher", id_col: str):
+    """(k, blob) signature-blob rows — the reduce-side join payload
+    shared by the one-shot estimate, `build_minhash_index` and
+    `minhash_probe` (one definition so the blob layout can never
+    drift between writer and prober)."""
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
+        return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
+
+    return to_blob
+
+
+def _bands_from_blobs(bands: int, rows_per_band: int, perm_hash: str,
+                      num_perm: int, id_col: str):
+    """Band rows derived from persisted (k, blob) signature rows — lets
+    the index build and the probe signature every doc exactly ONCE."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        sigs = _blob_fixed_matrix(t["blob"], num_perm)
+        ids = t["k"].to_numpy(zero_copy_only=False)
+        return _band_rows(sigs, ids, bands, rows_per_band, perm_hash, id_col)
 
     return explode
 
@@ -628,12 +667,9 @@ def minhash_lsh_pairs(
         )
         cand_d = _dedupe_pairs_stage(cand, None)
 
-        def to_blob_all(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
-            return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
-
-        blob_all = ds.map_batches(to_blob_all, batch_format="pyarrow").materialize()
+        blob_all = ds.map_batches(
+            _sig_blob_fn(mh, id_col), batch_format="pyarrow"
+        ).materialize()
         with_a = _attach_blob(cand_d, blob_all, "id_a", {"id_b": pa.int64()}, "sig_a")
         with_b = _attach_blob(
             with_a, blob_all, "id_b",
@@ -1540,37 +1576,44 @@ def build_minhash_index(
     the corpus — the incremental-crawl dedup shape (every new crawl
     probes the standing index; the corpus is only ever signatured once).
 
-    Layout: ``path/bands/`` parquet (band, bh, part, id) — the same slim
-    rows the one-shot LSH shuffle uses; ``path/sigs/`` parquet
-    (k, blob) signature blobs for the agreement estimate;
-    ``path/meta.json`` pins the parameters so a probe with mismatched
-    hashing fails loudly instead of silently finding nothing.
+    Layout: ``path/sigs/`` parquet (k, blob) signature blobs —
+    signatured exactly ONCE, bands derive from the blobs; ``path/bands/``
+    parquet (band, bh, part, id) — the same slim rows the one-shot LSH
+    shuffle uses; ``path/meta.json`` is written LAST (the completion
+    marker) and pins parameters + format version so a probe with
+    mismatched hashing fails loudly instead of silently finding nothing.
+    Any existing index at ``path`` is cleared first — a rebuild can
+    never mix old and new rows.
     """
     import json
     import os
+    import shutil
 
-    import ray.data  # noqa: F401
+    import ray.data
 
     rows_per_band = num_perm // bands
     mh = MinHasher(col, id_col, shingle, num_perm, perm_hash=perm_hash)
-    explode = _band_explode_fn(mh, bands, rows_per_band, perm_hash, id_col)
     ds = ds.select_columns([id_col, col])
 
-    def to_blob(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
-        return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
-
+    for sub in ("bands", "sigs"):
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        os.unlink(meta_path)
     os.makedirs(path, exist_ok=True)
-    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
-        os.path.join(path, "bands")
-    )
-    ds.map_batches(to_blob, batch_format="pyarrow").write_parquet(
-        os.path.join(path, "sigs")
-    )
-    meta = {"col": col, "id_col": id_col, "shingle": shingle,
-            "num_perm": num_perm, "bands": bands, "perm_hash": perm_hash}
-    with open(os.path.join(path, "meta.json"), "w") as f:
+
+    sigs_path = os.path.join(path, "sigs")
+    ds.map_batches(
+        _sig_blob_fn(mh, id_col), batch_format="pyarrow"
+    ).write_parquet(sigs_path)
+    ray.data.read_parquet(sigs_path).map_batches(
+        _bands_from_blobs(bands, rows_per_band, perm_hash, num_perm, id_col),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(path, "bands"))
+    meta = {"version": MINHASH_INDEX_VERSION, "col": col, "id_col": id_col,
+            "shingle": shingle, "num_perm": num_perm, "bands": bands,
+            "perm_hash": perm_hash}
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta
 
@@ -1580,20 +1623,20 @@ def minhash_probe(
     path: str,
     *,
     threshold: float = 0.5,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    pair_cap: int = DEFAULT_BUCKET_CAP * DEFAULT_BUCKET_CAP,
 ):
     """→ Dataset of (id_a, id_b, est_jaccard): near-dup candidates of
     the NEW batch against a persisted `build_minhash_index` corpus —
     id_a is the indexed (reference) doc, id_b the new doc.
 
     One LSH shuffle: the stored band table streams straight off parquet
-    and unions with the new batch's exploded bands (tagged by side);
-    per-bucket pairs are CROSS-side only. The agreement estimate joins
-    the stored reference blobs and the new batch's recomputed
-    signatures through the standard reduce-side blob join — the
-    reference corpus text is never read, let alone re-signatured.
-    Oversized ref×new buckets fall back to pairing every new doc with
-    the smallest reference id (logged star fallback, never silent).
+    and unions with the new batch's bands (tagged by side); per-bucket
+    pairs are CROSS-side only. The new batch is signatured exactly once
+    (blob table materialized; its band rows derive from the blobs), the
+    reference corpus is never read at all — its blobs join reduce-side.
+    Buckets whose ref×new pair PRODUCT exceeds ``pair_cap`` fall back
+    to pairing every new doc with the smallest reference id (logged
+    star fallback, never silent).
     """
     import json
     import os
@@ -1602,13 +1645,17 @@ def minhash_probe(
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("version") != MINHASH_INDEX_VERSION:
+        raise ValueError(
+            f"minhash index at {path} has version {meta.get('version')}, "
+            f"this code expects {MINHASH_INDEX_VERSION} — rebuild with "
+            "build_minhash_index"
+        )
     col, id_col = meta["col"], meta["id_col"]
     num_perm, bands = meta["num_perm"], meta["bands"]
     rows_per_band = num_perm // bands
     mh = MinHasher(col, id_col, meta["shingle"], num_perm,
                    perm_hash=meta["perm_hash"])
-    explode = _band_explode_fn(mh, bands, rows_per_band,
-                               meta["perm_hash"], id_col)
     new_ds = new_ds.select_columns([id_col, col])
 
     def tag(side: int):
@@ -1618,22 +1665,29 @@ def minhash_probe(
             )
         return f
 
+    # signature the new batch ONCE; bands derive from the blob table
+    new_blobs = new_ds.map_batches(
+        _sig_blob_fn(mh, id_col), batch_format="pyarrow"
+    ).materialize()
     ref_bands = ray.data.read_parquet(os.path.join(path, "bands")).map_batches(
         tag(0), batch_format="pyarrow"
     )
-    new_bands = new_ds.map_batches(explode, batch_format="pyarrow").map_batches(
-        tag(1), batch_format="pyarrow"
-    )
+    new_bands = new_blobs.map_batches(
+        _bands_from_blobs(bands, rows_per_band, meta["perm_hash"],
+                          num_perm, id_col),
+        batch_format="pyarrow",
+    ).map_batches(tag(1), batch_format="pyarrow")
 
     def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ref = np.sort(g.loc[g["side"] == 0, id_col].to_numpy())
         new = np.sort(g.loc[g["side"] == 1, id_col].to_numpy())
         if ref.size == 0 or new.size == 0:
             return _empty_pairs(None)
-        if ref.size * new.size > bucket_cap * bucket_cap:
+        if ref.size * new.size > pair_cap:
             _LOG.warning(
-                "minhash_probe: bucket of %d ref x %d new exceeds cap; "
-                "star fallback to min ref id", ref.size, new.size,
+                "minhash_probe: bucket of %d ref x %d new exceeds "
+                "pair_cap=%d; star fallback to min ref id",
+                ref.size, new.size, pair_cap,
             )
             return pd.DataFrame({"id_a": np.full(new.size, ref[0]),
                                  "id_b": new})
@@ -1646,13 +1700,7 @@ def minhash_probe(
         dedupe_stage=True,
     )
 
-    def to_blob_new(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sigs = np.ascontiguousarray(mh.signatures(t)).view(np.uint64)
-        return pa.table({"k": pa.array(ids), "blob": _bin_array(sigs)})
-
     ref_blobs = ray.data.read_parquet(os.path.join(path, "sigs"))
-    new_blobs = new_ds.map_batches(to_blob_new, batch_format="pyarrow")
     with_a = _attach_blob(cand, ref_blobs, "id_a", {"id_b": pa.int64()}, "sig_a")
     with_b = _attach_blob(
         with_a, new_blobs, "id_b",

@@ -583,7 +583,22 @@ def q_dedup_incremental(sf_dir: str) -> pd.DataFrame:
             return t.filter(m)
         return f
 
-    if not os.path.isdir(os.path.join(path, "sigs")):
+    from toshi_ray.ops.dedup import MINHASH_INDEX_VERSION
+
+    def _cache_ok() -> bool:
+        # meta.json is written LAST → its presence marks a complete
+        # build; the version stamp invalidates caches across scheme
+        # changes (the FORMAT_VERSION convention of the other caches)
+        mp = os.path.join(path, "meta.json")
+        if not os.path.exists(mp):
+            return False
+        import json
+
+        with open(mp) as f:
+            m = json.load(f)
+        return m.get("version") == MINHASH_INDEX_VERSION and m.get("perm_hash") == "sql"
+
+    if not _cache_ok():
         build_minhash_index(
             _docs_ds(sf_dir).map_batches(side(True), batch_format="pyarrow"),
             path, perm_hash="sql",
@@ -591,9 +606,9 @@ def q_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     rows = minhash_probe(
         _docs_ds(sf_dir).map_batches(side(False), batch_format="pyarrow"),
         path, threshold=20 / 64,
-        # the SQL twin does full per-bucket cross joins — cap must not
-        # trigger at oracle scales (star fallback would diverge)
-        bucket_cap=1 << 20,
+        # the SQL twin does full per-bucket cross joins — production
+        # guards run UNCAPPED on oracle-backed queries (CLAUDE.md)
+        pair_cap=1 << 40,
     ).take_all()
     if not rows:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),

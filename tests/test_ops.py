@@ -1936,3 +1936,27 @@ def test_minhash_index_rebuild_clears_stale(ray_session, docs):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="version"):
         minhash_probe(docs.limit(5), path)
+
+
+def test_top_key_per_window_argmax_ties(ray_session):
+    """Grouped argmax: per-window winner by count, exact ties to the
+    bytewise-smallest key, partition-invariant."""
+    import ray.data
+
+    from toshi_ray.ops.windows import top_key_per_window
+
+    D = 86_400_000_000
+    rows = [  # day 0: a x2, b x2 (tie → 'a'); day 1: b x3, a x1
+        (0, "a"), (0, "a"), (0, "b"), (0, "b"),
+        (1, "b"), (1, "b"), (1, "b"), (1, "a"),
+    ]
+    t = pa.table({
+        "ts": pa.array([r[0] * D + 5 for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    for nparts in (1, 3):
+        got = top_key_per_window(
+            ray.data.from_arrow(t).repartition(nparts), window_secs=86_400
+        ).to_pandas()
+        assert got.values.tolist() == [[0, "a", 2], [86_400, "b", 3]]

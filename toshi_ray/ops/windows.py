@@ -320,3 +320,42 @@ def retention_cohorts(
             "n_active": pa.array([acc[k] for k in keys], pa.int64()),
         }
     )
+
+
+def top_key_per_window(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_secs: int = 86_400,
+):
+    """→ pa.Table (window_start_s, key, n): grouped ARGMAX — the most
+    frequent key per tumbling window, ties to the bytewise-smallest key
+    (the 'top event type per day' report shape).
+
+    Rides `tumbling_window_agg`'s map-side-combined groupby; the argmax
+    folds its (windows × keys)-bounded output on the driver — that
+    output IS the windowed report, already orders of magnitude smaller
+    than the event stream, so a second all-to-all would buy nothing
+    (CLAUDE.md: minimize groupby count).
+    """
+    rows = tumbling_window_agg(
+        ds, ts_col=ts_col, key_col=key_col, value_col=value_col,
+        window_secs=window_secs,
+    ).take_all()
+    best: dict[int, tuple[int, str]] = {}
+    for r in rows:
+        w = int(r["window_start_s"])
+        cand = (int(r["n"]), str(r[key_col]))
+        cur = best.get(w)
+        if cur is None or cand[0] > cur[0] or (cand[0] == cur[0] and cand[1] < cur[1]):
+            best[w] = cand
+    ws = sorted(best)
+    return pa.table(
+        {
+            "window_start_s": pa.array(ws, pa.int64()),
+            key_col: pa.array([best[w][1] for w in ws], pa.string()),
+            "n": pa.array([best[w][0] for w in ws], pa.int64()),
+        }
+    )

@@ -1208,6 +1208,19 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_top_event_day(sf_dir: str) -> pd.DataFrame:
+    """Grouped argmax: the most frequent event_type per UTC day."""
+    import ray.data
+
+    from toshi_ray.ops.windows import top_key_per_window
+
+    t = top_key_per_window(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")),
+        window_secs=86_400,
+    )
+    return t.to_pandas().astype({"window_start_s": "int64", "n": "int64"})
+
+
 def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     """view→click→purchase funnel, anchored-first semantics, 96 h
     completion window — integer-µs timestamps keep the twin hash-exact."""
@@ -1689,6 +1702,17 @@ SELECT CAST(seq_idx AS BIGINT) AS seq_idx,
        CAST(max(doc_id) AS BIGINT) AS last_doc,
        CAST(sum({_tok_hash31_sql('tok', 257)} * (p + 1)) AS BIGINT) AS chk
 FROM s GROUP BY seq_idx ORDER BY seq_idx
+"""
+
+    sql["top_event_day"] = """
+WITH w AS (SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS ws,
+                  count(*) AS n
+           FROM events GROUP BY event_type, ws),
+r AS (SELECT ws, event_type, n,
+        row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rn
+      FROM w)
+SELECT CAST(ws AS BIGINT) AS window_start_s, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY window_start_s
 """
 
     sql["retention"] = """
@@ -2504,6 +2528,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "events_window": q_events_window,
     "events_funnel": q_events_funnel,
+    "top_event_day": q_top_event_day,
     "asof_join": q_asof_join,
     "retention": q_retention,
     "range_join": q_range_join,

@@ -368,12 +368,16 @@ def run_scaling() -> dict:
             GRAFT_BENCH_DOCS=str(scale_docs),
             GRAFT_BENCH_SCALING_CHILD="1",
         )
+        # per-leg watchdog: ray.init on this sandbox has been observed
+        # to HANG outright (47 min in one run), not just run 25-60 s
+        # slow — one stuck leg must fail fast, not eat the bench budget
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--build-only"],
             env=env,
             capture_output=True,
             text=True,
             check=True,
+            timeout=int(os.environ.get("GRAFT_SCALE_LEG_TIMEOUT", "600")),
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -384,9 +388,16 @@ def run_scaling() -> dict:
     best = {lo: None, hi: None}
     for _ in range(repeats):  # interleave lo/hi; best-of-N approximates the
         for ncpu in (lo, hi):  # unloaded machine on this noisy-neighbor VM
-            r = run(ncpu)
+            try:
+                r = run(ncpu)
+            except subprocess.TimeoutExpired:
+                print(f"scaling leg ncpu={ncpu} timed out (hung ray.init?); "
+                      "skipping", file=sys.stderr)
+                continue
             if best[ncpu] is None or r["index_docs_per_sec"] > best[ncpu]["index_docs_per_sec"]:
                 best[ncpu] = r
+    if best[lo] is None or best[hi] is None:
+        raise RuntimeError("every scaling leg at one level timed out")
     thr_lo = best[lo]["index_docs_per_sec"]
     thr_hi = best[hi]["index_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)

@@ -56,3 +56,40 @@ def test_job_cli_roundtrip(ray_session, tmp_path, capsys):
 
     # the shared session must still be alive
     assert ray.is_initialized()
+
+
+def test_job_cli_dedup(ray_session, tmp_path, capsys):
+    """dedup subcommand: exact stats, index-build → probe round trip,
+    partitioned parquet pair output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from toshi_ray.pipelines.job import main
+
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3 + [
+        f"unique document number {i} with its own words entirely" for i in range(20)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}), src)
+
+    out1 = str(tmp_path / "exact")
+    assert main(["dedup", "--input", src, "--output", out1,
+                 "--method", "exact"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 21  # one row per KEEPER: 1 for the triple + 20 uniques
+
+    state = str(tmp_path / "mhidx")
+    assert main(["dedup", "--input", src, "--method", "index-build",
+                 "--state", state]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["index"] == state and r["num_perm"] == 64
+
+    out2 = str(tmp_path / "probe")
+    assert main(["dedup", "--input", src, "--output", out2,
+                 "--method", "probe", "--state", state,
+                 "--threshold", "0.9"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the three identical docs pair with themselves across ref/new
+    assert r["rows"] >= 3

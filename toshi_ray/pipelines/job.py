@@ -88,6 +88,43 @@ def cmd_ingest_ndjson(args) -> dict:
     return {"segments": len(manifest["segments"]), "metrics": manifest["metrics"]}
 
 
+def cmd_dedup(args) -> dict:
+    """Dedup as a batch job: exact / one-shot minhash pairs / persisted
+    index build / incremental probe. Pair outputs land as partitioned
+    parquet under --output (resumable, never one giant file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    if args.method == "index-build":
+        from toshi_ray.ops.dedup import build_minhash_index
+
+        meta = build_minhash_index(ds, args.state, col=args.col,
+                                   id_col=args.id_col)
+        return {"index": args.state, **meta}
+    if args.method == "exact":
+        from toshi_ray.ops.dedup import exact_dedup
+
+        out = exact_dedup(ds, col=args.col, id_col=args.id_col)
+    elif args.method == "minhash":
+        from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(ds, args.col, args.id_col,
+                                threshold=args.threshold)
+    elif args.method == "probe":
+        from toshi_ray.ops.dedup import minhash_probe
+
+        out = minhash_probe(ds, args.state, threshold=args.threshold)
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(args.method)
+    out.write_parquet(args.output)
+    n = sum(pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{args.output}/*.parquet"))
+    return {"output": args.output, "rows": n}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="toshi_ray.pipelines.job")
     p.add_argument("--local-cpus", type=int, default=None,
@@ -117,10 +154,20 @@ def main(argv=None) -> int:
     n.add_argument("--id-col", default="doc_id")
     n.add_argument("--docs-per-segment", type=int, default=50_000)
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", help="pair/survivor parquet dir")
+    d.add_argument("--method", required=True,
+                   choices=["exact", "minhash", "index-build", "probe"])
+    d.add_argument("--state", help="minhash index dir (index-build/probe)")
+    d.add_argument("--col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
     owns_ray = _ensure_ray(args.local_cpus)
     out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search,
-           "ingest-ndjson": cmd_ingest_ndjson}[args.cmd](args)
+           "ingest-ndjson": cmd_ingest_ndjson, "dedup": cmd_dedup}[args.cmd](args)
     print(json.dumps(out))
     if owns_ray:
         import ray

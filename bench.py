@@ -370,16 +370,35 @@ def run_scaling() -> dict:
         )
         # per-leg watchdog: ray.init on this sandbox has been observed
         # to HANG outright (47 min in one run), not just run 25-60 s
-        # slow — one stuck leg must fail fast, not eat the bench budget
-        out = subprocess.run(
+        # slow — one stuck leg must fail fast, not eat the bench budget.
+        # The leg runs in its OWN process group so a timeout can reap
+        # the whole ray local cluster (GCS/raylet/workers), not just the
+        # driver — orphans would pollute every remaining timed leg.
+        # Default timeout scales with the configured corpus size.
+        leg_timeout = int(os.environ.get(
+            "GRAFT_SCALE_LEG_TIMEOUT", str(max(600, scale_docs // 800))
+        ))
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--build-only"],
             env=env,
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
             text=True,
-            check=True,
-            timeout=int(os.environ.get("GRAFT_SCALE_LEG_TIMEOUT", "600")),
+            start_new_session=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
+        )
+        try:
+            out, err = proc.communicate(timeout=leg_timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            raise
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(
+                proc.returncode, proc.args, out, err
+            )
         return json.loads(out.strip().splitlines()[-1])
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
@@ -391,13 +410,17 @@ def run_scaling() -> dict:
             try:
                 r = run(ncpu)
             except subprocess.TimeoutExpired:
-                print(f"scaling leg ncpu={ncpu} timed out (hung ray.init?); "
-                      "skipping", file=sys.stderr)
+                print(f"scaling leg ncpu={ncpu} timed out (hung ray.init? "
+                      "raise GRAFT_SCALE_LEG_TIMEOUT for big "
+                      "GRAFT_SCALE_DOCS); skipping", file=sys.stderr)
                 continue
             if best[ncpu] is None or r["index_docs_per_sec"] > best[ncpu]["index_docs_per_sec"]:
                 best[ncpu] = r
     if best[lo] is None or best[hi] is None:
-        raise RuntimeError("every scaling leg at one level timed out")
+        raise RuntimeError(
+            "every scaling leg at one level timed out — raise "
+            "GRAFT_SCALE_LEG_TIMEOUT (or shrink GRAFT_SCALE_DOCS)"
+        )
     thr_lo = best[lo]["index_docs_per_sec"]
     thr_hi = best[hi]["index_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)

@@ -327,21 +327,26 @@ def top_key_per_window(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
-    value_col: str = "value",
     window_secs: int = 86_400,
 ):
     """→ pa.Table (window_start_s, key, n): grouped ARGMAX — the most
     frequent key per tumbling window, ties to the bytewise-smallest key
     (the 'top event type per day' report shape).
 
-    Rides `tumbling_window_agg`'s map-side-combined groupby; the argmax
-    folds its (windows × keys)-bounded output on the driver — that
-    output IS the windowed report, already orders of magnitude smaller
-    than the event stream, so a second all-to-all would buy nothing
-    (CLAUDE.md: minimize groupby count).
+    Rides `tumbling_window_agg`'s map-side-combined groupby (with a
+    synthesized zero value column — only counts matter here, and the
+    input needs no value column at all); the argmax folds the
+    (windows × keys)-bounded output on the driver — that output IS the
+    windowed report, already orders of magnitude smaller than the event
+    stream, so a second all-to-all would buy nothing (CLAUDE.md:
+    minimize groupby count).
     """
+    base = ds.select_columns([ts_col, key_col]).map_batches(
+        lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows))),
+        batch_format="pyarrow",
+    )
     rows = tumbling_window_agg(
-        ds, ts_col=ts_col, key_col=key_col, value_col=value_col,
+        base, ts_col=ts_col, key_col=key_col, value_col="_one",
         window_secs=window_secs,
     ).take_all()
     best: dict[int, tuple[int, str]] = {}

@@ -93,11 +93,16 @@ def cmd_dedup(args) -> dict:
     index build / incremental probe. Pair outputs land as partitioned
     parquet under --output (resumable, never one giant file)."""
     import glob
+    import shutil
 
     import pyarrow.parquet as pq
     import ray.data
 
     ds = ray.data.read_parquet(args.input)
+    if args.output:
+        # a rerun must never mix with a prior run's files (the
+        # build_minhash_index convention; write_parquet only appends)
+        shutil.rmtree(args.output, ignore_errors=True)
     if args.method == "index-build":
         from toshi_ray.ops.dedup import build_minhash_index
 
@@ -165,6 +170,11 @@ def main(argv=None) -> int:
     d.add_argument("--threshold", type=float, default=0.5)
 
     args = p.parse_args(argv)
+    if args.cmd == "dedup":  # fail at argparse, not deep inside the job
+        if args.method in ("exact", "minhash", "probe") and not args.output:
+            p.error(f"--output is required for --method {args.method}")
+        if args.method in ("index-build", "probe") and not args.state:
+            p.error(f"--state is required for --method {args.method}")
     owns_ray = _ensure_ray(args.local_cpus)
     out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search,
            "ingest-ndjson": cmd_ingest_ndjson, "dedup": cmd_dedup}[args.cmd](args)

@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY query — 69 of 69. ``dedup_minhash``, the
+    """DuckDB twins for EVERY query — 70 of 70. ``dedup_minhash``, the
     composed ``minhash_verify`` and the cluster-resolving
     ``dedup_cluster`` (recursive min-label CTE) run
     the derandomized `perm_hash="sql"` permutation scheme so DuckDB can

@@ -1960,3 +1960,30 @@ def test_top_key_per_window_argmax_ties(ray_session):
             ray.data.from_arrow(t).repartition(nparts), window_secs=86_400
         ).to_pandas()
         assert got.values.tolist() == [[0, "a", 2], [86_400, "b", 3]]
+
+
+def test_value_stats_exact_percentiles(ray_session):
+    """Per-key histogram percentiles equal a brute-force reference,
+    incl. even/odd counts, negative values and partition invariance."""
+    import ray.data
+
+    from toshi_ray.ops.windows import value_stats
+
+    rng = np.random.default_rng(3)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, 501)]
+    vals = np.round(rng.normal(scale=50, size=501), 2)
+    t = pa.table({"event_type": pa.array(keys, pa.string()),
+                  "value": pa.array(vals)})
+
+    got1 = value_stats(ray.data.from_arrow(t).repartition(1))
+    got5 = value_stats(ray.data.from_arrow(t).repartition(5))
+    assert got1.equals(got5)
+    df = got1.to_pandas().set_index("event_type")
+    for k in "abc":
+        v = np.sort(np.floor(vals[keys == k] * 100.0).astype(np.int64))
+        n = v.size
+        assert df.loc[k, "n"] == n
+        assert df.loc[k, "sum_x100"] == int(v.sum())
+        assert df.loc[k, "p50_x100"] == int(v[(n + 1) // 2 - 1])
+        assert df.loc[k, "min_x100"] == int(v[0])
+        assert df.loc[k, "max_x100"] == int(v[-1])

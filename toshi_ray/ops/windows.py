@@ -364,3 +364,94 @@ def top_key_per_window(
             "n": pa.array([best[w][0] for w in ws], pa.int64()),
         }
     )
+
+
+def value_stats(ds, *, key_col: str = "event_type", value_col: str = "value"):
+    """→ pa.Table (key, n, sum_x100, p50_x100, min_x100, max_x100):
+    EXACT numeric distribution report per key — median included —
+    without a global sort. Values quantize to integer hundredths
+    (floor(v·100), the same IEEE double floored on both engines), so
+    the per-key histogram (key, v_x100, c) is additive: per-batch
+    combine → coarse hash-partitioned fold → driver percentile scan
+    over O(keys × distinct values) rows, never O(events). p50 = the
+    smallest value whose running count reaches ceil(n/2) (the
+    `length_stats` rule).
+    """
+    import pandas as pd
+
+    from toshi_ray.ops.corpus import _codes, _run_starts
+    from toshi_ray.ops.dedup import N_PAIR_PARTS, _mix
+
+    _u = np.uint64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        kc, kvoc = _codes(t[key_col])
+        v = np.floor(
+            t[value_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order, starts = _run_starts(kc, v)
+        c = np.diff(np.r_[starts, v.size]).astype(np.int64)
+        rk, rv = kc[order][starts], v[order][starts]
+        return pa.table(
+            {
+                "key": kvoc.take(pa.array(rk)).cast(pa.string()),
+                "v": pa.array(rv),
+                "c": pa.array(c),
+                "part": pa.array(
+                    ((rv.astype(_u) * _u(31) + _mix(rk.astype(_u)))
+                     % _u(N_PAIR_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        kc, kvoc = _codes(t["key"])
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts = _run_starts(kc, v)
+        cs = np.add.reduceat(c[order], starts)
+        return pa.table(
+            {
+                "key": kvoc.take(pa.array(kc[order][starts])).cast(pa.string()),
+                "v": pa.array(v[order][starts]),
+                "c": pa.array(cs.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: fold(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(rows, columns=["key", "v", "c"])
+    out = []
+    for key, g in sorted(df.groupby("key"), key=lambda kv: kv[0]):
+        g = g.groupby("v", as_index=False)["c"].sum().sort_values("v")
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        p50 = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        out.append((key, n, int((v * c).sum()), p50, int(v[0]), int(v[-1])))
+    return pa.table(
+        {
+            key_col: pa.array([o[0] for o in out], pa.string()),
+            "n": pa.array([o[1] for o in out], pa.int64()),
+            "sum_x100": pa.array([o[2] for o in out], pa.int64()),
+            "p50_x100": pa.array([o[3] for o in out], pa.int64()),
+            "min_x100": pa.array([o[4] for o in out], pa.int64()),
+            "max_x100": pa.array([o[5] for o in out], pa.int64()),
+        }
+    )

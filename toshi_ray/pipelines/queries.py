@@ -1208,6 +1208,19 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type value distribution (count / sum / median /
+    min / max at integer hundredths) from additive histograms."""
+    import ray.data
+
+    from toshi_ray.ops.windows import value_stats
+
+    t = value_stats(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return t.to_pandas()
+
+
 def q_top_event_day(sf_dir: str) -> pd.DataFrame:
     """Grouped argmax: the most frequent event_type per UTC day."""
     import ray.data
@@ -1702,6 +1715,25 @@ SELECT CAST(seq_idx AS BIGINT) AS seq_idx,
        CAST(max(doc_id) AS BIGINT) AS last_doc,
        CAST(sum({_tok_hash31_sql('tok', 257)} * (p + 1)) AS BIGINT) AS chk
 FROM s GROUP BY seq_idx ORDER BY seq_idx
+"""
+
+    # exact distribution report: p50 = smallest value whose running
+    # count reaches ceil(n/2) over the integer-hundredth histogram
+    sql["value_stats"] = """
+WITH v AS (SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+agg AS (SELECT event_type, count(*) AS n, sum(v) AS s, min(v) AS mn, max(v) AS mx
+        FROM v GROUP BY event_type),
+h AS (SELECT event_type, v, count(*) AS c FROM v GROUP BY event_type, v),
+r AS (SELECT event_type, v,
+        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      FROM h),
+p AS (SELECT r.event_type, min(r.v) AS p50
+      FROM r JOIN agg a USING (event_type)
+      WHERE r.cum >= (a.n + 1) // 2 GROUP BY r.event_type)
+SELECT a.event_type, CAST(a.n AS BIGINT) AS n, CAST(a.s AS BIGINT) AS sum_x100,
+       CAST(p.p50 AS BIGINT) AS p50_x100, CAST(a.mn AS BIGINT) AS min_x100,
+       CAST(a.mx AS BIGINT) AS max_x100
+FROM agg a JOIN p USING (event_type) ORDER BY a.event_type
 """
 
     sql["top_event_day"] = """
@@ -2529,6 +2561,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_funnel": q_events_funnel,
     "top_event_day": q_top_event_day,
+    "value_stats": q_value_stats,
     "asof_join": q_asof_join,
     "retention": q_retention,
     "range_join": q_range_join,

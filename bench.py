@@ -92,11 +92,8 @@ def bench_index_build(repeats: int = 2) -> tuple[str, float, float]:
     return root, best, n / best
 
 
-def bench_queries(index_root: str) -> dict[str, float]:
+def bench_query_p50s(s) -> dict[str, float]:
     """p50 latency (sec) per query kind over the built index."""
-    from toshi_ray.search import Searcher
-
-    s = Searcher(index_root, distributed=True, parallelism=min(8, NUM_CPUS))
     qs = {
         "q_term": {"query": {"term": {"text": "w00042"}}, "limit": 100},
         "q_term_hot": {"query": {"term": {"text": "the"}}, "limit": 100},
@@ -125,9 +122,12 @@ def bench_queries(index_root: str) -> dict[str, float]:
             s.search(body)
             lat.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(lat), 4)
+    return out
 
-    # the 50-query reference set (tests/queries.json), batched: one stats
-    # round + one scoring round per scorer group via multi_search
+
+def bench_qset(s) -> float:
+    """The 50-query reference set (tests/queries.json), batched: one stats
+    round + one scoring round per scorer group via multi_search."""
     qpath = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "queries.json")
     with open(qpath) as f:
         qset = json.load(f)
@@ -139,14 +139,25 @@ def bench_queries(index_root: str) -> dict[str, float]:
     s.multi_search(bodies[:2])  # warm
     t0 = time.perf_counter()
     s.multi_search(bodies)
-    out["q_set_50_batched"] = round(time.perf_counter() - t0, 4)
-    return s, out
+    return round(time.perf_counter() - t0, 4)
+
+
+def bench_minhash() -> float:
+    """MinHash+LSH near-dup pairs over the documents table (one sample)."""
+    import ray.data
+
+    from toshi_ray.ops.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs, threshold=0.3).count()
+    return round(time.perf_counter() - t0, 3)
 
 
 def bench_ops() -> dict[str, float]:
     import ray.data
 
-    from toshi_ray.ops.dedup import exact_dedup, minhash_lsh_pairs
+    from toshi_ray.ops.dedup import exact_dedup
     from toshi_ray.ops.similarity import brute_force_topk
     import numpy as np
 
@@ -155,10 +166,6 @@ def bench_ops() -> dict[str, float]:
     t0 = time.perf_counter()
     exact_dedup(docs).count()
     out["dedup_exact"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(docs, threshold=0.3).count()
-    out["dedup_minhash"] = round(time.perf_counter() - t0, 3)
 
     emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     head = emb.limit(8).take_all()
@@ -234,7 +241,51 @@ def bench_ops() -> dict[str, float]:
     return out
 
 
+def _bench_merge_on_clone(index_root: str, tombstone_pct: float = 0.0) -> float:
+    """Time one 16-run log-policy-bucket merge — the term-keyed shuffle
+    with hot-term salting — against a pristine hard-link clone, so every
+    repeat does identical work (fresh clone = no resumable checkpoints,
+    same source set). Optionally tombstones ~tombstone_pct of docs first
+    to exercise the vectorized delete path."""
+    from toshi_ray.pipelines.build import load_manifest
+    from toshi_ray.pipelines.merge import merge_segments
+
+    clone = _clone_index(index_root)
+    try:
+        if tombstone_pct > 0:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tomb_dir = os.path.join(clone, "tombstones")
+            os.makedirs(tomb_dir, exist_ok=True)
+            ids = np.random.default_rng(0).choice(
+                N_PAGES, size=max(1, int(N_PAGES * tombstone_pct)), replace=False
+            )
+            pq.write_table(
+                pa.table({"doc_id": pa.array(np.sort(ids).astype(np.uint64))}),
+                os.path.join(tomb_dir, "bench.parquet"),
+            )
+        bucket = [s["name"] for s in load_manifest(clone)["segments"][:16]]
+        t0 = time.perf_counter()
+        merge_segments(clone, bucket, hot_df_threshold=20_000, shard_span=20_000)
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(clone, ignore_errors=True)
+
+
 def run_once(build_only: bool = False) -> dict:
+    """Full bench: REPEATS interleaved rounds of (build → query set →
+    merge → tombstoned merge → minhash), reporting the BEST sample per
+    pipeline plus all samples and a per-round hardware-probe reading.
+
+    Interleaving inside one invocation is the noise defense: this VM's
+    noisy-neighbor phases last minutes, so back-to-back repeats of one
+    pipeline can land entirely inside a bad window (BENCH_r03 did: build
+    4.56 s vs the same code's quiet-window 1.60 s). Spreading each
+    pipeline's samples across the whole run and taking the min bounds
+    that, and the probe readings prove in-artifact which rounds were bad.
+    """
     import ray
 
     if not ray.is_initialized():
@@ -250,51 +301,98 @@ def run_once(build_only: bool = False) -> dict:
     ctx.enable_progress_bars = False
 
     queries: dict[str, float] = {}
-    index_root, build_secs, docs_per_sec = bench_index_build()
-    queries["index_build"] = round(build_secs, 3)
-    from toshi_ray.pipelines.build import load_manifest
+    if build_only:
+        index_root, build_secs, docs_per_sec = bench_index_build()
+        from toshi_ray.pipelines.build import load_manifest
 
-    build_cpu = load_manifest(index_root)["metrics"].get("cpu_secs", 0.0)
-    if not build_only:
-        searcher, qtimes = bench_queries(index_root)
-        queries.update(qtimes)
-        searcher.close()  # free the scorer pool's CPUs before the merge
-        # segment consolidation: the term-keyed shuffle w/ hot-term salting.
-        # A log-policy bucket (16 runs), like an incremental merge — not
-        # the whole index at once.
-        from toshi_ray.pipelines.build import load_manifest as _lm
-        from toshi_ray.pipelines.merge import merge_segments
+        build_cpu = load_manifest(index_root)["metrics"].get("cpu_secs", 0.0)
+        queries["index_build"] = round(build_secs, 3)
+        shutil.rmtree(index_root, ignore_errors=True)
+        result = {
+            "metric": "index-build + BM25 query p50 + data ops over synthetic web pages",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf(),
+            "num_cpus": NUM_CPUS,
+            "n_pages": N_PAGES,
+            "index_docs_per_sec": round(docs_per_sec, 1),
+            "index_cpu_secs": round(build_cpu, 3),
+        }
+        ray.shutdown()
+        return result
 
-        bucket = [s["name"] for s in _lm(index_root)["segments"][:16]]
-        t0 = time.perf_counter()
-        merge_segments(index_root, bucket, hot_df_threshold=20_000, shard_span=20_000)
-        queries["segment_merge_16runs"] = round(time.perf_counter() - t0, 3)
+    import ray.data
 
-        # same-shaped merge with ~1% of docs tombstoned: exercises the
-        # vectorized tombstone path; should stay within ~1.2x plain merge
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    from toshi_ray.pipelines.build import build_index, load_manifest
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.search import Searcher
 
-        tomb_dir = os.path.join(index_root, "tombstones")
-        os.makedirs(tomb_dir, exist_ok=True)
-        ids = np.random.default_rng(0).choice(
-            N_PAGES, size=max(1, N_PAGES // 100), replace=False
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    pages = ensure_pages_parquet()
+    ray.data.read_parquet(pages).count()  # warm OS page cache (untimed)
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("url", "text", indexed=False),
+        FieldDef("text", "text"),
+        FieldDef("lang", "facet"),
+    )
+
+    samples: dict[str, list[float]] = {
+        k: []
+        for k in (
+            "index_build",
+            "q_set_50_batched",
+            "segment_merge_16runs",
+            "segment_merge_16runs_tombstoned",
+            "dedup_minhash",
         )
-        pq.write_table(
-            pa.table({"doc_id": pa.array(np.sort(ids).astype(np.uint64))}),
-            os.path.join(tomb_dir, "bench.parquet"),
+    }
+    probes: list[float] = []
+    cpu_samples: list[float] = []
+    index_root = None
+    n_docs = N_PAGES
+    for r in range(repeats):
+        probes.append(_quick_probe(NUM_CPUS))
+        # -- index build (fresh output dir each round; keep round 0's) --
+        root_r = tempfile.mkdtemp(prefix="toshi_bench_idx_")
+        ds = ray.data.read_parquet(
+            pages,
+            columns=["doc_id", "url", "text", "lang"],
+            override_num_blocks=max(8, N_PAGES // DOCS_PER_SEGMENT),
         )
-        bucket2 = [
-            s["name"]
-            for s in _lm(index_root)["segments"]
-            if not s["name"].startswith("seg-merged")
-        ][:16]
         t0 = time.perf_counter()
-        merge_segments(index_root, bucket2, hot_df_threshold=20_000, shard_span=20_000)
-        queries["segment_merge_16runs_tombstoned"] = round(time.perf_counter() - t0, 3)
-        queries.update(bench_ops())
+        manifest = build_index(ds, schema, root_r, docs_per_segment=DOCS_PER_SEGMENT)
+        samples["index_build"].append(round(time.perf_counter() - t0, 3))
+        cpu_samples.append(manifest["metrics"].get("cpu_secs", 0.0))
+        n_docs = manifest["metrics"]["num_docs"]
+        if index_root is None:
+            index_root = root_r
+        else:
+            shutil.rmtree(root_r, ignore_errors=True)
+        # -- queries (searcher reopened per round so its actor pool's
+        #    CPUs are free again before the merges are timed) --
+        searcher = Searcher(index_root, distributed=True, parallelism=min(8, NUM_CPUS))
+        if r == 0:
+            queries.update(bench_query_p50s(searcher))
+        samples["q_set_50_batched"].append(bench_qset(searcher))
+        searcher.close()
+        # -- segment consolidation on pristine clones --
+        samples["segment_merge_16runs"].append(_bench_merge_on_clone(index_root))
+        samples["segment_merge_16runs_tombstoned"].append(
+            _bench_merge_on_clone(index_root, tombstone_pct=0.01)
+        )
+        # -- minhash near-dup --
+        samples["dedup_minhash"].append(bench_minhash())
+        if r == 0:
+            queries.update(bench_ops())
+    probes.append(_quick_probe(NUM_CPUS))
     shutil.rmtree(index_root, ignore_errors=True)
+
+    for k, v in samples.items():
+        queries[k] = min(v)
+    build_cpu = min(cpu_samples)  # min = the quiet-window reading
+    docs_per_sec = n_docs / queries["index_build"]
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -307,22 +405,58 @@ def run_once(build_only: bool = False) -> dict:
         "n_pages": N_PAGES,
         "index_docs_per_sec": round(docs_per_sec, 1),
         "index_cpu_secs": round(build_cpu, 3),
+        "noise": {
+            "repeats": repeats,
+            "samples": samples,
+            "index_cpu_secs_samples": [round(c, 3) for c in cpu_samples],
+            # aggregate numpy-sort sorts/sec at NUM_CPUS procs, one
+            # reading per round + one final: the machine's delivered
+            # throughput during THIS run (quiet ≈ constant; a 2-4x dip
+            # marks a noisy-neighbor window — see BASELINE.md)
+            "hw_probe_sorts_per_sec": probes,
+        },
     }
     ray.shutdown()
     return result
 
 
-def _hw_burn(_):
+def _hw_burn(secs):
     import numpy as np
 
     rng = np.random.default_rng(0)
     data = rng.integers(0, 2**30, 5_000_000, dtype=np.uint32)
     t0 = time.time()
     n = 0
-    while time.time() - t0 < 5.0:
+    while time.time() - t0 < secs:
         np.sort(data)
         n += 1
     return n
+
+
+def _quick_probe(procs: int, secs: float = 2.0) -> float:
+    """One aggregate numpy-sort throughput reading (sorts/sec) at `procs`
+    concurrent processes — a cheap in-artifact measure of what the box can
+    deliver RIGHT NOW. Taken once per bench round so a reader of the JSON
+    can see whether a slow pipeline sample coincided with a collapsed
+    machine window (this VM shows 2-4x noisy-neighbor phases lasting
+    minutes; see BASELINE.md)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        t0 = time.time()
+        res = p.map(_hw_burn, [secs] * procs)
+        return round(sum(res) / (time.time() - t0), 2)
+
+
+def _clone_index(src: str) -> str:
+    """Hard-link clone of an index dir (same tmpfs): repeated merges get
+    identical pristine inputs at ~zero copy cost. Safe because every
+    writer in build/merge publishes via tmp+rename (os.replace), which
+    swaps the clone's directory entry without touching the shared inode."""
+    dst = tempfile.mkdtemp(prefix="toshi_bench_clone_")
+    os.rmdir(dst)
+    shutil.copytree(src, dst, copy_function=os.link)
+    return dst
 
 
 def _hardware_scaling_probe(lo: int, hi: int, repeats: int = 3) -> dict:
@@ -337,13 +471,12 @@ def _hardware_scaling_probe(lo: int, hi: int, repeats: int = 3) -> dict:
     0.7 → 45 sorts/s across one pair)."""
     import multiprocessing as mp
 
-    burn = _hw_burn
     best = {lo: 0.0, hi: 0.0}
     for _ in range(repeats):
         for procs in (lo, hi):
             with mp.Pool(procs) as p:
                 t0 = time.time()
-                res = p.map(burn, range(procs))
+                res = p.map(_hw_burn, [5.0] * procs)
                 thr = sum(res) / (time.time() - t0)
             best[procs] = max(best[procs], thr)
     return {

@@ -1987,3 +1987,36 @@ def test_value_stats_exact_percentiles(ray_session):
         assert df.loc[k, "p50_x100"] == int(v[(n + 1) // 2 - 1])
         assert df.loc[k, "min_x100"] == int(v[0])
         assert df.loc[k, "max_x100"] == int(v[-1])
+
+
+def test_value_stats_wide_range_distributed_fold(ray_session):
+    """Wide-range float column (≈1M possible distinct hundredths) with
+    many keys: the percentile fold must finish inside the tasks — the
+    driver gathers exactly one finished row per key, never the O(keys ×
+    distinct hundredths) histogram (the round-3 verdict's unbounded-
+    driver-gather finding). Values checked against brute force."""
+    import ray.data
+
+    from toshi_ray.ops.windows import value_stats
+
+    rng = np.random.default_rng(11)
+    n_rows, n_keys = 200_000, 157
+    keys = np.array([f"k{i:03d}" for i in range(n_keys)])[
+        rng.integers(0, n_keys, n_rows)
+    ]
+    vals = rng.uniform(0.0, 10_000.0, n_rows)  # hundredths span [0, 1e6)
+    t = pa.table({"event_type": pa.array(keys, pa.string()),
+                  "value": pa.array(vals)})
+    got = value_stats(ray.data.from_arrow(t).repartition(8))
+    assert got.num_rows == n_keys  # one finished row per key, sorted
+    df = got.to_pandas().set_index("event_type")
+    assert list(df.index) == sorted(df.index)
+    q = np.floor(vals * 100.0).astype(np.int64)
+    for k in ("k000", "k042", "k156"):
+        v = np.sort(q[keys == k])
+        n = v.size
+        assert df.loc[k, "n"] == n
+        assert df.loc[k, "sum_x100"] == int(v.sum())
+        assert df.loc[k, "p50_x100"] == int(v[(n + 1) // 2 - 1])
+        assert df.loc[k, "min_x100"] == int(v[0])
+        assert df.loc[k, "max_x100"] == int(v[-1])

@@ -371,16 +371,19 @@ def value_stats(ds, *, key_col: str = "event_type", value_col: str = "value"):
     EXACT numeric distribution report per key — median included —
     without a global sort. Values quantize to integer hundredths
     (floor(v·100), the same IEEE double floored on both engines), so
-    the per-key histogram (key, v_x100, c) is additive: per-batch
-    combine → coarse hash-partitioned fold → driver percentile scan
-    over O(keys × distinct values) rows, never O(events). p50 = the
-    smallest value whose running count reaches ceil(n/2) (the
-    `length_stats` rule).
+    the per-key histogram (key, v_x100, c) is additive. Fully
+    distributed fold: per-batch combine → (key,v)-hash-partitioned
+    dedup fold (load-spread even when one key dominates) → key-hash-
+    partitioned percentile fold that finishes each key INSIDE the task
+    (one vectorized lexsort + reduceat + searchsorted over the key's
+    histogram). The driver gathers O(keys) finished rows — never the
+    histogram itself, whose size is O(keys × distinct hundredths) and
+    unbounded for wide-range float columns (latencies in µs, prices).
+    p50 = the smallest value whose running count reaches ceil(n/2)
+    (the `length_stats` rule).
     """
-    import pandas as pd
-
     from toshi_ray.ops.corpus import _codes, _run_starts
-    from toshi_ray.ops.dedup import N_PAIR_PARTS, _mix
+    from toshi_ray.ops.dedup import N_PAIR_PARTS, _hash_strings, _mix
 
     _u = np.uint64
 
@@ -410,20 +413,66 @@ def value_stats(ds, *, key_col: str = "event_type", value_col: str = "value"):
         )
 
     def fold(t: pa.Table) -> pa.Table:
+        """Dedup (key,v) histogram rows within one hash partition, then
+        re-key each surviving row by hash(key) for the percentile stage."""
         if t.num_rows == 0:
             return pa.table({"key": pa.array([], pa.string()),
                              "v": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
+                             "c": pa.array([], pa.int64()),
+                             "kpart": pa.array([], pa.int64())})
         kc, kvoc = _codes(t["key"])
         v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         order, starts = _run_starts(kc, v)
         cs = np.add.reduceat(c[order], starts)
+        keys = kvoc.take(pa.array(kc[order][starts])).cast(pa.string())
+        kh = _hash_strings(keys)  # deterministic across workers/batches
         return pa.table(
             {
-                "key": kvoc.take(pa.array(kc[order][starts])).cast(pa.string()),
+                "key": keys,
                 "v": pa.array(v[order][starts]),
                 "c": pa.array(cs.astype(np.int64)),
+                "kpart": pa.array(
+                    (kh.astype(_u) % _u(N_PAIR_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def percentiles(t: pa.Table) -> pa.Table:
+        """Finish every key that hashed to this partition: the key's whole
+        histogram is local, so n/sum/min/max/p50 all come from one
+        lexsort + reduceat + searchsorted — no Python loop over rows and
+        nothing wider than O(this partition's histogram) in memory."""
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_x100": pa.array([], pa.int64()),
+                             "p50_x100": pa.array([], pa.int64()),
+                             "min_x100": pa.array([], pa.int64()),
+                             "max_x100": pa.array([], pa.int64())})
+        kc, kvoc = _codes(t["key"])
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts = _run_starts(kc, v)
+        kc, v, c = kc[order], v[order], c[order]
+        key_starts = np.r_[0, np.flatnonzero(np.diff(kc[starts]) != 0) + 1]
+        # run-starts are per (key,v); collapse to per-key boundaries
+        kb = starts[key_starts]  # row index where each key begins
+        ke = np.r_[kb[1:], v.size]
+        n_per = np.add.reduceat(c, kb)
+        sum_per = np.add.reduceat(v * c, kb)
+        cum = np.cumsum(c)
+        base = np.r_[np.int64(0), cum[ke[:-1] - 1]]
+        target = base + (n_per + 1) // 2  # ceil(n/2) within each key's run
+        p50 = v[np.searchsorted(cum, target, side="left")]
+        return pa.table(
+            {
+                key_col: kvoc.take(pa.array(kc[kb])).cast(pa.string()),
+                "n": pa.array(n_per.astype(np.int64)),
+                "sum_x100": pa.array(sum_per.astype(np.int64)),
+                "p50_x100": pa.array(p50.astype(np.int64)),
+                "min_x100": pa.array(v[kb].astype(np.int64)),
+                "max_x100": pa.array(v[ke - 1].astype(np.int64)),
             }
         )
 
@@ -433,25 +482,19 @@ def value_stats(ds, *, key_col: str = "event_type", value_col: str = "value"):
         .groupby("part")
         .map_groups(lambda t: fold(t.drop_columns(["part"])),
                     batch_format="pyarrow")
-        .take_all()
+        .groupby("kpart")
+        .map_groups(lambda t: percentiles(t.drop_columns(["kpart"])),
+                    batch_format="pyarrow")
+        .take_all()  # O(keys) finished rows — the report itself
     )
-    df = pd.DataFrame(rows, columns=["key", "v", "c"])
-    out = []
-    for key, g in sorted(df.groupby("key"), key=lambda kv: kv[0]):
-        g = g.groupby("v", as_index=False)["c"].sum().sort_values("v")
-        v = g["v"].to_numpy()
-        c = g["c"].to_numpy()
-        n = int(c.sum())
-        cum = np.cumsum(c)
-        p50 = int(v[np.searchsorted(cum, (n + 1) // 2)])
-        out.append((key, n, int((v * c).sum()), p50, int(v[0]), int(v[-1])))
+    rows.sort(key=lambda r: r[key_col])
     return pa.table(
         {
-            key_col: pa.array([o[0] for o in out], pa.string()),
-            "n": pa.array([o[1] for o in out], pa.int64()),
-            "sum_x100": pa.array([o[2] for o in out], pa.int64()),
-            "p50_x100": pa.array([o[3] for o in out], pa.int64()),
-            "min_x100": pa.array([o[4] for o in out], pa.int64()),
-            "max_x100": pa.array([o[5] for o in out], pa.int64()),
+            key_col: pa.array([r[key_col] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "sum_x100": pa.array([r["sum_x100"] for r in rows], pa.int64()),
+            "p50_x100": pa.array([r["p50_x100"] for r in rows], pa.int64()),
+            "min_x100": pa.array([r["min_x100"] for r in rows], pa.int64()),
+            "max_x100": pa.array([r["max_x100"] for r in rows], pa.int64()),
         }
     )

@@ -41,17 +41,20 @@ def test_chain_order_split_then_lowercase():
     """Tantivy's chain is SimpleTokenizer → RemoveLongFilter →
     LowerCaser. A fold-FIRST chain would lowercase 'İ' (U+0130) into a
     form with a combining mark and shred the token at the split step;
-    the pinned order splits the raw text, so the token stays whole.
-    (Remaining documented nuance: Arrow's utf8_lower applies SIMPLE
-    case mappings — 'İ' → 'i' — while Rust's to_lowercase applies the
-    full mapping 'i'+U+0307; one-codepoint difference, no structural
-    divergence.)"""
-    assert an.tokens("İstanbul Meeting") == ["istanbul", "meeting"]
-    # ẞ (U+1E9E) → ß: same class, survives either order
+    the pinned order splits the raw text, so the token stays whole."""
+    # Full-mapping golden (Rust "İstanbul".to_lowercase()): 'İ' expands
+    # to 'i' + U+0307 COMBINING DOT ABOVE — SpecialCasing.txt's only
+    # unconditional multi-char lowercase entry
+    assert an.tokens("İstanbul Meeting") == ["i̇stanbul", "meeting"]
+    # ẞ (U+1E9E) → ß: a SIMPLE mapping (UnicodeData.txt), identical in
+    # Rust and utf8proc; survives either order
     assert an.tokens("GROẞE") == ["große"]
+    # Σ lowers to σ everywhere — tantivy's LowerCaser is per-char and
+    # deliberately skips the contextual Final_Sigma rule, like utf8proc
+    assert an.tokens("ΟΔΟΣ") == ["οδοσ"]
     # RemoveLongFilter sees ORIGINAL bytes: 19×'İ' is 38 raw bytes
     # (< 40) — kept; 20×'İ' (40 raw bytes) is dropped
-    assert an.tokens("İ" * 19) == ["i" * 19]
+    assert an.tokens("İ" * 19) == ["i̇" * 19]
     assert an.tokens("İ" * 20) == []
 
 

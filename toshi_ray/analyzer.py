@@ -28,11 +28,14 @@ Arrow kernels, just swapped — lowercasing now touches only kept
 tokens. On ASCII text the DuckDB oracle twin
 (`regexp_split_to_array(lower(text), ...)`) remains byte-identical.
 
-Remaining documented nuance: Arrow's `utf8_lower` applies SIMPLE
-Unicode case mappings (UnicodeData.txt: 'İ' → 'i'), while Rust's
-`str::to_lowercase` applies the full SpecialCasing mapping
-('i' + U+0307). One-codepoint lexical difference on that character
-class; no structural/tokenization divergence remains.
+Lowercase semantics match Rust `char::to_lowercase` (what tantivy's
+LowerCaser applies per character, deliberately WITHOUT the contextual
+Final_Sigma rule): Arrow's `utf8_lower` (utf8proc simple mapping)
+plus an explicit pre-expansion of U+0130 'İ' → 'i' + U+0307 — the
+single character whose full Unicode lowercase is multi-char
+(SpecialCasing.txt's only unconditional lowercase entry). 'ẞ'→'ß'
+and Σ→σ-everywhere are already identical in both mappings. No known
+engine-parity gap remains.
 """
 
 from __future__ import annotations
@@ -103,7 +106,16 @@ class DefaultAnalyzer:
         # LowerCaser is last and touches only the kept tokens
         keep = nonempty & (byte_len < MAX_TOKEN_BYTES)
         keep_idx = np.nonzero(keep)[0]
-        terms = pc.utf8_lower(flat.take(pa.array(keep_idx)))
+        kept = flat.take(pa.array(keep_idx))
+        # Full-mapping parity with Rust char::to_lowercase (tantivy's
+        # LowerCaser lowercases per char and deliberately skips the
+        # contextual Final_Sigma rule): the ONLY character whose full
+        # lowercase differs from the simple map utf8proc applies is
+        # U+0130 'İ' → "i" + U+0307 (SpecialCasing.txt's sole
+        # unconditional multi-char lowercase entry). Expand it BEFORE
+        # utf8_lower — afterwards the 'İ'/'i' distinction is gone.
+        kept = pc.replace_substring(kept, pattern="\u0130", replacement="i\u0307")
+        terms = pc.utf8_lower(kept)
         doc_index = doc_index[keep_idx]
         positions = positions_all[keep_idx] if len(flat) else np.empty(0, np.int64)
         norms = np.bincount(doc_index, minlength=n_docs).astype(np.int64)

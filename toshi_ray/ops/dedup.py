@@ -110,17 +110,43 @@ def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str |
                         dtype=None, dedupe_stage: bool = True):
     """groupby a COARSE partition of the bucket hash (64 groups, not one
     Ray group per LSH bucket — per-group Python overhead would dominate
-    at millions of buckets), run the per-bucket pair generator inside
-    with a vectorized pandas groupby, then dedupe pairs the same way.
-    ``dedupe_stage=False`` skips the pair-dedupe shuffle for callers
-    that dedupe downstream (e.g. on the collected candidate list)."""
+    at millions of buckets), run the per-bucket pair generator inside,
+    then dedupe pairs the same way. ``dedupe_stage=False`` skips the
+    pair-dedupe shuffle for callers that dedupe downstream (e.g. on the
+    collected candidate list).
 
-    def gen(g: pd.DataFrame) -> pd.DataFrame:
+    The partition arrives as zero-copy Arrow; singleton buckets (the
+    overwhelming majority — a bucket can only emit pairs with >= 2
+    rows) are dropped by one vectorized numpy segmentation BEFORE any
+    pandas conversion or per-bucket Python call, so pair_fn runs only
+    over the few genuinely colliding buckets."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pandas(_empty_pairs(metric, dtype), preserve_index=False)
+        if t.num_rows < 2:
+            return empty
+        cols = [t[c].to_numpy(zero_copy_only=False) for c in bucket_cols]
+        order = np.lexsort(tuple(reversed(cols)))
+        new = np.zeros(order.size, dtype=bool)
+        new[0] = True
+        for c in cols:
+            cs = c[order]
+            new[1:] |= cs[1:] != cs[:-1]
+        run_id = np.cumsum(new) - 1
+        multi = (np.bincount(run_id) >= 2)[run_id]
+        sel = order[multi]
+        if sel.size == 0:
+            return empty
+        g = t.take(pa.array(sel)).to_pandas()
         outs = [pair_fn(sub) for _, sub in g.groupby(bucket_cols, sort=False)]
         outs = [o for o in outs if len(o)]
-        return pd.concat(outs, ignore_index=True) if outs else _empty_pairs(metric, dtype)
+        if not outs:
+            return empty
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        ).cast(empty.schema)
 
-    pairs = exploded.groupby("part").map_groups(gen, batch_format="pandas")
+    pairs = exploded.groupby("part").map_groups(gen, batch_format="pyarrow")
     if not dedupe_stage:
         return pairs
     return _dedupe_pairs_stage(pairs, metric, dtype)
@@ -137,14 +163,21 @@ def _dedupe_pairs_stage(pairs, metric: str | None, dtype=None):
             "ppart", pa.array((_mix(a * _U(31) + b) % _U(N_PAIR_PARTS)).astype(np.int64))
         )
 
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["ppart"])
-        return out if len(out) else _empty_pairs(metric, dtype)
+    def dedupe(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        aa, bb = a[order], b[order]
+        first = np.ones(aa.size, dtype=bool)
+        if aa.size > 1:
+            first[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        out = g.take(pa.array(order[first]))
+        return out.drop_columns(["ppart"])
 
     return (
         pairs.map_batches(add_pair_part, batch_format="pyarrow")
         .groupby("ppart")
-        .map_groups(dedupe, batch_format="pandas")
+        .map_groups(dedupe, batch_format="pyarrow")
     )
 
 
@@ -239,12 +272,18 @@ def exact_dedup_drop(ds, col: str = "text", id_col: str = "doc_id"):
             "_part", pa.array((h % _U(N_PAIR_PARTS)).astype(np.int64))
         )
 
-    def keep(g: pd.DataFrame) -> pd.DataFrame:
-        win = g.groupby("_h", sort=False)[id_col].idxmin()
-        return g.loc[win].drop(columns=["_h", "_part"])
+    def keep(g: pa.Table) -> pa.Table:
+        h = g["_h"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))  # min id wins within each hash run
+        hh = h[order]
+        first = np.ones(hh.size, dtype=bool)
+        if hh.size > 1:
+            first[1:] = hh[1:] != hh[:-1]
+        return g.take(pa.array(order[first])).drop_columns(["_h", "_part"])
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("_part").map_groups(
-        keep, batch_format="pandas"
+        keep, batch_format="pyarrow"
     )
 
 
@@ -897,24 +936,51 @@ def ngram_jaccard_pairs(
         part = (_hash_strings(b) % _U(N_PAIR_PARTS)).astype(np.int64)
         return t.append_column("part", pa.array(part))
 
-    def gen(g: pd.DataFrame) -> pd.DataFrame:
+    def gen(t: pa.Table) -> pa.Table:
+        """Zero-copy Arrow in; one numpy segmentation drops singleton
+        buckets so only genuinely colliding texts are ever pylist'ed."""
+        empty = pa.Table.from_pandas(
+            _empty_pairs("jaccard", float), preserve_index=False
+        )
+        if t.num_rows < 2:
+            return empty
+        bc = (
+            t[bucket_col].combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bc))  # id-ascending within each bucket
+        bs = bc[order]
+        new = np.ones(bs.size, dtype=bool)
+        new[1:] = bs[1:] != bs[:-1]
+        run_id = np.cumsum(new) - 1
+        sel = order[(np.bincount(run_id) >= 2)[run_id]]
+        if sel.size == 0:
+            return empty
+        bsel = bc[sel]
+        gstart = np.r_[0, np.flatnonzero(bsel[1:] != bsel[:-1]) + 1]
+        gend = np.r_[gstart[1:], bsel.size]
+        texts = (
+            t[col].combine_chunks().fill_null("").take(pa.array(sel)).to_pylist()
+        )
+        ids_sel = ids[sel]
         outs = []
-        for _, sub in g.groupby(bucket_col, sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.sort_values(id_col)
+        for s, e in zip(gstart, gend):
             out = _jaccard_pairs_in_group(
-                sub[col].fillna("").tolist(), sub[id_col].to_numpy(), n, threshold,
-                max_run,
+                texts[s:e], ids_sel[s:e], n, threshold, max_run
             )
             if len(out):
                 outs.append(out)
-        return pd.concat(outs, ignore_index=True) if outs else _empty_pairs("jaccard", float)
+        if not outs:
+            return empty
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        ).cast(empty.schema)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(gen, batch_format="pandas")
+        .map_groups(gen, batch_format="pyarrow")
     )
 
 

@@ -75,12 +75,12 @@ def asof_join(
             }
         )
 
-    def fold(g: pd.DataFrame) -> pa.Table:
-        k = g["k"].to_numpy()
-        t = g["t"].to_numpy()
-        rid = g["rid"].to_numpy()
-        v = g["v"].to_numpy()
-        is_r = g["is_right"].to_numpy().astype(bool)
+    def fold(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        rid = g["rid"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        is_r = g["is_right"].to_numpy(zero_copy_only=False).astype(bool)
         # at equal ts a right row is visible to a left row iff NOT
         # strict → rights sort first (side 0) for <=, last for <.
         # Among DUPLICATE (key, ts) right rows the largest value wins
@@ -111,7 +111,7 @@ def asof_join(
     unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
-    return unioned.groupby("part").map_groups(fold, batch_format="pandas")
+    return unioned.groupby("part").map_groups(fold, batch_format="pyarrow")
 
 
 def range_join(

@@ -76,7 +76,6 @@ def session_window_agg(
     group per key); sessionization inside each partition is a single
     vectorized pass (sort + cumsum of break flags).
     → (key, session_start_us, n, sum_value_x1e3)."""
-    import pandas as pd
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -94,32 +93,32 @@ def session_window_agg(
             }
         )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, "ts_us", id_col])
-        k = g[key_col].to_numpy()
-        ts = g["ts_us"].to_numpy()
-        v = g["v"].to_numpy()
-        brk = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
+    def sessions(t: pa.Table) -> pa.Table:
+        k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False), ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        brk = np.ones(k.size, dtype=bool)
+        if k.size > 1:
             brk[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_secs * 1_000_000)
         starts = np.nonzero(brk)[0]
-        bounds = np.concatenate([starts, [len(g)]])
-        # return ARROW, not pandas: a pandas output block makes any
-        # downstream row access (take_all and friends) fall into
-        # per-row DataFrame.__getitem__ — 4 ms/row on the driver
+        bounds = np.concatenate([starts, [k.size]])
         return pa.table(
             {
                 key_col: pa.array(k[starts]),
                 "session_start_us": pa.array(ts[starts]),
                 "n": pa.array(np.diff(bounds).astype(np.int64)),
-                "sum_value_x1e3": pa.array(np.add.reduceat(v, starts)),
+                "sum_value_x1e3": pa.array(np.add.reduceat(v, starts))
+                if starts.size
+                else pa.array(np.empty(0, np.int64)),
             }
         )
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -202,8 +201,6 @@ def funnel(
     is one boolean mask + ``np.minimum.at`` over the factorized key
     index — a fixed number of vectorized passes, no per-key loop.
     """
-    import pandas as pd
-
     n_steps = len(steps)
     assert n_steps >= 2
     sent = np.iinfo(np.int64).max
@@ -219,10 +216,12 @@ def funnel(
             }
         )
 
-    def fold(g: pd.DataFrame) -> pa.Table:
-        keys, uidx = np.unique(g[key_col].to_numpy(), return_inverse=True)
-        ts = g["ts_us"].to_numpy()
-        et = g[type_col].to_numpy()
+    def fold(t: pa.Table) -> pa.Table:
+        keys, uidx = np.unique(
+            t[key_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        et = t[type_col].to_numpy(zero_copy_only=False)
         t_step = np.full((n_steps, keys.size), sent, np.int64)
         mask0 = et == steps[0]
         np.minimum.at(t_step[0], uidx[mask0], ts[mask0])
@@ -244,7 +243,7 @@ def funnel(
         ds.select_columns([key_col, ts_col, type_col])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -268,7 +267,6 @@ def retention_cohorts(
     KB — see CLAUDE.md). Pure integer day arithmetic keeps the DuckDB
     twin hash-exact. Returns a pyarrow Table.
     """
-    import pandas as pd
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -281,9 +279,11 @@ def retention_cohorts(
             }
         )
 
-    def fold(g: pd.DataFrame) -> pa.Table:
-        keys, uidx = np.unique(g["k"].to_numpy(), return_inverse=True)
-        day = g["day"].to_numpy()
+    def fold(t: pa.Table) -> pa.Table:
+        keys, uidx = np.unique(
+            t["k"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        day = t["day"].to_numpy(zero_copy_only=False)
         first = np.full(keys.size, np.iinfo(np.int64).max, np.int64)
         np.minimum.at(first, uidx, day)
         span = int(day.max() - day.min()) + 1 if day.size else 1
@@ -305,7 +305,7 @@ def retention_cohorts(
         ds.select_columns([key_col, ts_col])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()
     )
     acc: dict[tuple[int, int], int] = {}

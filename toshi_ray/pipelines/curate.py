@@ -1,0 +1,177 @@
+"""End-to-end training-data curation: the one-command pipeline a user
+points at a raw corpus to get packed training sequences plus a stage-by-
+stage attrition report.
+
+    raw docs → quality+lang annotate (one tokenize pass)
+             → quality filter
+             → exact dedup (content-hash, min-id survivor)
+             → near-dup drop (MinHash LSH pairs → connected components,
+               keep each cluster's canonical min-id doc)
+             → language mixing (deterministic per-stratum keep-hash)
+             → GPT-style sequence packing
+
+Composes the library's existing ops (`textstats`, `dedup`, `sampling`,
+`cleaning`) — every stage is a Ray Data batch transform; the only
+all-to-all exchanges are the two dedup shuffles. This is the pipeline
+the reference's users run around the index (ingest-side corpus prep);
+exposed as `python -m toshi_ray.pipelines.job report`.
+
+Scale shape: with ``output`` set, every stage boundary is a partitioned
+parquet checkpoint (resumable — a rerun of a later stage never recomputes
+earlier ones; at 100 TB this is how you'd run it). Without ``output``
+(tests, small corpora) stages materialize in the object store instead.
+The near-dup loser set gathers to the driver — it is bounded by the
+number of near-duplicate docs (≤ 2 × confirmed pairs), the same
+boundedness contract as `minhash_lsh_pairs`'s candidate gather.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+def annotate_quality_lang(ds, *, col: str = "text", id_col: str = "doc_id",
+                          min_quality: float | None = None):
+    """Attach ``quality`` + ``pred_lang`` columns to the corpus rows with
+    a SINGLE tokenize pass per batch (quality_score and lang_id each
+    retokenize when run separately; the curation pipeline needs both AND
+    the text, so compute them together and keep every input column).
+    Semantics match `textstats.quality_score` / `textstats.lang_id`
+    exactly — the per-language stopword votes double as the quality
+    formula's English stopword count. Optionally filters in place."""
+    from toshi_ray.ops.textstats import (
+        LANG_ORDER,
+        STOPWORDS,
+        _per_doc_count_in_set,
+        _per_doc_distinct,
+        _tokenize,
+    )
+
+    lang_sets = [set(STOPWORDS[lang]) for lang in LANG_ORDER]
+    en_row = LANG_ORDER.index("en")
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return (
+                t.append_column("quality", pa.array([], pa.float64()))
+                .append_column("pred_lang", pa.array([], pa.string()))
+            )
+        tc = _tokenize(t, col)
+        votes = np.stack([_per_doc_count_in_set(tc, n, s) for s in lang_sets])
+        best = np.argmax(votes, axis=0)  # first max → LANG_ORDER tie-break
+        langs = np.asarray(LANG_ORDER, dtype=object)[best]
+        langs[votes.max(axis=0) == 0] = "en"
+        n_tok = tc.norms.astype(np.float64)
+        safe = np.maximum(n_tok, 1.0)
+        quality = (
+            0.4 * np.minimum(n_tok / 200.0, 1.0)
+            + 0.3 * (votes[en_row].astype(np.float64) / safe)
+            + 0.3 * (_per_doc_distinct(tc, n).astype(np.float64) / safe)
+        )
+        out = t.append_column("quality", pa.array(quality)).append_column(
+            "pred_lang", pa.array(langs, type=pa.string())
+        )
+        if min_quality is not None:
+            out = out.filter(pa.array(quality >= min_quality))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _checkpoint(ds, output: str | None, name: str):
+    """Stage boundary: partitioned-parquet checkpoint when an output dir
+    is given (resumable at scale), object-store materialize otherwise."""
+    import ray.data
+
+    if output is None:
+        return ds.materialize()
+    path = os.path.join(output, name)
+    ds.write_parquet(path)
+    try:
+        return ray.data.read_parquet(path)
+    except FileNotFoundError:
+        # A zero-row stage writes no files; fall back to the (empty)
+        # materialized dataset so downstream stages keep the schema.
+        return ds.materialize()
+
+
+def curate_report(
+    ds,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.25,
+    dedup_threshold: float = 0.5,
+    rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = 1_000_000,
+    seq_len: int = 2048,
+    output: str | None = None,
+) -> dict[str, Any]:
+    """Run the full curation pipeline; → attrition report dict. With
+    ``output``, the final corpus lands at ``output/corpus`` and the
+    packed sequences at ``output/packed`` (partitioned parquet)."""
+    import ray
+
+    from toshi_ray.ops.cleaning import pack_sequences
+    from toshi_ray.ops.dedup import dup_components, exact_dedup_drop, minhash_lsh_pairs
+    from toshi_ray.ops.sampling import stratified_sample
+
+    report: dict[str, Any] = {"n_input": ds.count()}
+
+    ann = _checkpoint(
+        annotate_quality_lang(
+            ds.select_columns([id_col, col]), col=col, id_col=id_col,
+            min_quality=min_quality,
+        ),
+        output, "stage1-quality",
+    )
+    report["n_after_quality"] = ann.count()
+
+    exact = _checkpoint(exact_dedup_drop(ann, col, id_col), output, "stage2-exact")
+    report["n_after_exact_dedup"] = exact.count()
+
+    pairs = minhash_lsh_pairs(exact, col, id_col, threshold=dedup_threshold)
+    comp = dup_components(pairs)
+    losers = np.array(
+        sorted(
+            int(r[id_col])
+            for r in comp.take_all()
+            if int(r[id_col]) != int(r["component"])
+        ),
+        dtype=np.int64,
+    )  # bounded by near-duplicate docs; each cluster keeps its min id
+    report["n_near_dup_removed"] = int(losers.size)
+    ref = ray.put(losers)
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        if bad.size == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(bad, ids)
+        hit = (pos < bad.size) & (bad[np.minimum(pos, max(bad.size - 1, 0))] == ids)
+        return t.filter(pa.array(~hit))
+
+    survivors = exact.map_batches(drop_losers, batch_format="pyarrow")
+
+    if rates_ppm:
+        survivors = stratified_sample(
+            survivors, rates_ppm, strata_col="pred_lang",
+            default_ppm=default_ppm, id_col=id_col,
+        )
+    corpus = _checkpoint(survivors, output, "corpus")
+    report["n_corpus"] = corpus.count()
+
+    packed = pack_sequences(corpus, seq_len=seq_len, col=col, id_col=id_col)
+    packed = _checkpoint(packed, output, "packed")
+    report["n_sequences"] = packed.count()
+    report["seq_len"] = seq_len
+    if output:
+        report["corpus_path"] = os.path.join(output, "corpus")
+        report["packed_path"] = os.path.join(output, "packed")
+    return report

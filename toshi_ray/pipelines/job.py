@@ -130,6 +130,43 @@ def cmd_dedup(args) -> dict:
     return {"output": args.output, "rows": n}
 
 
+def cmd_report(args) -> dict:
+    """The one-command training-data story: quality filter → exact dedup
+    → near-dup cluster drop → language mixing → sequence packing over a
+    parquet or NDJSON corpus, with a stage-by-stage attrition report
+    (see `toshi_ray.pipelines.curate`)."""
+    import shutil
+
+    import ray.data
+
+    from toshi_ray.pipelines.curate import curate_report
+
+    if args.input.endswith((".ndjson", ".jsonl", ".json")):
+        ds = ray.data.read_json(
+            args.input, file_extensions=["json", "ndjson", "jsonl"]
+        )
+    else:
+        ds = ray.data.read_parquet(args.input)
+    if args.output:
+        shutil.rmtree(args.output, ignore_errors=True)
+    rates = None
+    if args.rates:
+        rates = {
+            k: int(v)
+            for k, v in (kv.split("=", 1) for kv in args.rates.split(","))
+        }
+    return curate_report(
+        ds,
+        col=args.col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        dedup_threshold=args.dedup_threshold,
+        rates_ppm=rates,
+        seq_len=args.seq_len,
+        output=args.output,
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="toshi_ray.pipelines.job")
     p.add_argument("--local-cpus", type=int, default=None,
@@ -169,6 +206,19 @@ def main(argv=None) -> int:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--threshold", type=float, default=0.5)
 
+    r = sub.add_parser("report", help="quality→dedup→mix→pack curation "
+                       "pipeline with a stage attrition report")
+    r.add_argument("--input", required=True, help="parquet dir or NDJSON file")
+    r.add_argument("--output", help="write corpus/ + packed/ parquet here "
+                   "(stage checkpoints; resumable)")
+    r.add_argument("--col", default="text")
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--min-quality", type=float, default=0.25)
+    r.add_argument("--dedup-threshold", type=float, default=0.5)
+    r.add_argument("--rates", help="per-language keep rates in ppm, e.g. "
+                   "'en=1000000,de=250000' (unlisted languages keep all)")
+    r.add_argument("--seq-len", type=int, default=2048)
+
     args = p.parse_args(argv)
     if args.cmd == "dedup":  # fail at argparse, not deep inside the job
         if args.method in ("exact", "minhash", "probe") and not args.output:
@@ -177,7 +227,8 @@ def main(argv=None) -> int:
             p.error(f"--state is required for --method {args.method}")
     owns_ray = _ensure_ray(args.local_cpus)
     out = {"build": cmd_build, "merge": cmd_merge, "search": cmd_search,
-           "ingest-ndjson": cmd_ingest_ndjson, "dedup": cmd_dedup}[args.cmd](args)
+           "ingest-ndjson": cmd_ingest_ndjson, "dedup": cmd_dedup,
+           "report": cmd_report}[args.cmd](args)
     print(json.dumps(out))
     if owns_ray:
         import ray

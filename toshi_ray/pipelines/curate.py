@@ -100,7 +100,7 @@ def _checkpoint(ds, output: str | None, name: str):
         return ds.materialize()
 
 
-def curate_report(
+def curate_corpus(
     ds,
     *,
     col: str = "text",
@@ -109,19 +109,23 @@ def curate_report(
     dedup_threshold: float = 0.5,
     rates_ppm: dict[str, int] | None = None,
     default_ppm: int = 1_000_000,
-    seq_len: int = 2048,
     output: str | None = None,
-) -> dict[str, Any]:
-    """Run the full curation pipeline; → attrition report dict. With
-    ``output``, the final corpus lands at ``output/corpus`` and the
-    packed sequences at ``output/packed`` (partitioned parquet)."""
+    perm_hash: str = "fast",
+    bucket_cap: int | None = None,
+    report: dict[str, Any] | None = None,
+):
+    """The curation chain up to (and including) language mixing; → the
+    surviving-corpus Dataset (doc_id, text, quality, pred_lang).
+    ``perm_hash="sql"`` + ``bucket_cap`` pass through to
+    `minhash_lsh_pairs` so a DuckDB oracle can recompute the whole chain
+    (see `queries.py` `curate_corpus`). Fills ``report`` if given."""
     import ray
 
-    from toshi_ray.ops.cleaning import pack_sequences
     from toshi_ray.ops.dedup import dup_components, exact_dedup_drop, minhash_lsh_pairs
     from toshi_ray.ops.sampling import stratified_sample
 
-    report: dict[str, Any] = {"n_input": ds.count()}
+    report = report if report is not None else {}
+    report["n_input"] = ds.count()
 
     ann = _checkpoint(
         annotate_quality_lang(
@@ -135,7 +139,10 @@ def curate_report(
     exact = _checkpoint(exact_dedup_drop(ann, col, id_col), output, "stage2-exact")
     report["n_after_exact_dedup"] = exact.count()
 
-    pairs = minhash_lsh_pairs(exact, col, id_col, threshold=dedup_threshold)
+    mh_kw: dict[str, Any] = {"perm_hash": perm_hash}
+    if bucket_cap is not None:
+        mh_kw["bucket_cap"] = bucket_cap
+    pairs = minhash_lsh_pairs(exact, col, id_col, threshold=dedup_threshold, **mh_kw)
     comp = dup_components(pairs)
     losers = np.array(
         sorted(
@@ -166,12 +173,38 @@ def curate_report(
         )
     corpus = _checkpoint(survivors, output, "corpus")
     report["n_corpus"] = corpus.count()
+    if output:
+        report["corpus_path"] = os.path.join(output, "corpus")
+    return corpus
 
+
+def curate_report(
+    ds,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.25,
+    dedup_threshold: float = 0.5,
+    rates_ppm: dict[str, int] | None = None,
+    default_ppm: int = 1_000_000,
+    seq_len: int = 2048,
+    output: str | None = None,
+) -> dict[str, Any]:
+    """Run the full curation pipeline; → attrition report dict. With
+    ``output``, the final corpus lands at ``output/corpus`` and the
+    packed sequences at ``output/packed`` (partitioned parquet)."""
+    from toshi_ray.ops.cleaning import pack_sequences
+
+    report: dict[str, Any] = {}
+    corpus = curate_corpus(
+        ds, col=col, id_col=id_col, min_quality=min_quality,
+        dedup_threshold=dedup_threshold, rates_ppm=rates_ppm,
+        default_ppm=default_ppm, output=output, report=report,
+    )
     packed = pack_sequences(corpus, seq_len=seq_len, col=col, id_col=id_col)
     packed = _checkpoint(packed, output, "packed")
     report["n_sequences"] = packed.count()
     report["seq_len"] = seq_len
     if output:
-        report["corpus_path"] = os.path.join(output, "corpus")
         report["packed_path"] = os.path.join(output, "packed")
     return report

@@ -121,20 +121,23 @@ ORDER BY doc_id
 
 
 def _minhash_ctes(num_perm: int = 64, bands: int = 16,
-                  split: int | None = None) -> str:
+                  split: int | None = None,
+                  tokens_cte: str | None = None) -> str:
     """WITH-chain of the derandomized minhash pipeline, ending at
     `scored` (id_a, id_b, n_agree). Shared by the signature twin
     (`minhash_sql`), the composed LSH→verify twin
-    (`minhash_verify_sql`) and — with ``split`` — the incremental-probe
+    (`minhash_verify_sql`), — with ``split`` — the incremental-probe
     twin (candidates restricted to ref docs < split × new docs >= split,
-    mirroring `minhash_probe` against a `build_minhash_index` corpus)."""
+    mirroring `minhash_probe` against a `build_minhash_index` corpus),
+    and — with ``tokens_cte`` — the full-curation twin (a caller-built
+    chain ending in a `toks(doc_id, tk)` CTE over a filtered corpus)."""
     rpb = num_perm // bands
     sentinel = 2147483647
     if split is None:
         cand_rule = "AND x.doc_id < y.doc_id"
     else:
         cand_rule = f"AND x.doc_id < {split} AND y.doc_id >= {split}"
-    return f"""{TOKENS_CTE},
+    return f"""{tokens_cte if tokens_cte is not None else TOKENS_CTE},
 th AS (SELECT doc_id, list_transform(tk, t -> {_tok_hash31_sql('t', 257)}) AS th FROM toks),
 sh AS (SELECT doc_id,
          list_transform(range(1, len(th) - 1),
@@ -235,6 +238,77 @@ cc AS (
 )
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS component
 FROM cc GROUP BY id ORDER BY doc_id
+"""
+
+
+def curate_corpus_sql(
+    min_quality: float = 0.25,
+    num_perm: int = 64,
+    bands: int = 16,
+    min_agree: int = 20,
+    rates_ppm: dict[str, int] | None = None,
+) -> str:
+    """Full-curation twin (`pipelines/curate.py` `curate_corpus`):
+    quality filter → exact dedup (min doc_id per identical text) →
+    derandomized minhash LSH pairs over the SURVIVORS → connected
+    components → drop non-canonical cluster members → per-language
+    ppm mixing on the double-Lehmer keep-hash. The quality expression
+    and lang-vote CASE are byte-identical to the `quality`/`lang_id`
+    twins, so the float threshold compares the same IEEE doubles on
+    both engines."""
+    from toshi_ray.ops.sampling import lehmer2_sql
+
+    rates = rates_ppm or {"en": 800_000, "de": 500_000, "fr": 250_000, "es": 0}
+    en = _stop_list_sql("en")
+    lang_counts = ",\n         ".join(
+        f"len(list_filter(tk, t -> list_contains({_stop_list_sql(l)}, t))) AS c_{l}"
+        for l in LANG_ORDER
+    )
+    rate_case = "CASE q.pred_lang " + " ".join(
+        f"WHEN '{l}' THEN {r}" for l, r in sorted(rates.items())
+    ) + " ELSE 1000000 END"
+    prefix = f"""toks0 AS (SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    t -> length(t) > 0 AND strlen(t) < 40) AS tk FROM documents),
+v AS (SELECT doc_id, len(tk) AS n_tok,
+         len(list_filter(tk, t -> list_contains({en}, t))) AS stops,
+         len(list_distinct(tk)) AS uniqs,
+         {lang_counts}
+      FROM toks0),
+ann AS (SELECT doc_id,
+          0.4 * least(n_tok / 200.0, 1.0)
+            + 0.3 * (stops / greatest(n_tok, 1))
+            + 0.3 * (uniqs / greatest(n_tok, 1)) AS qual,
+          CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'en'
+               WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+               WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+               WHEN c_fr >= c_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM v),
+qf AS (SELECT doc_id, qual, pred_lang FROM ann WHERE qual >= {min_quality}),
+ex AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+       JOIN qf ON qf.doc_id = d.doc_id GROUP BY d.text),
+toks AS (SELECT t.doc_id, t.tk FROM toks0 t JOIN ex USING (doc_id))"""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_perm, bands, tokens_cte=prefix)},
+keep AS (SELECT id_a, id_b FROM scored WHERE n_agree >= {min_agree}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM keep
+          UNION ALL
+          SELECT id_b, id_a FROM keep),
+cc AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.id
+  WHERE c.lbl < e.dst
+),
+losers AS (SELECT id FROM cc GROUP BY id HAVING min(lbl) <> id),
+surv AS (SELECT e.doc_id FROM ex e
+         WHERE e.doc_id NOT IN (SELECT id FROM losers))
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, q.pred_lang,
+       CAST(floor(q.qual * 1000000.0) AS BIGINT) AS quality_x1e6
+FROM surv s JOIN qf q ON q.doc_id = s.doc_id
+WHERE {lehmer2_sql('s.doc_id')} % 1000000 < {rate_case}
+ORDER BY doc_id
 """
 
 
@@ -644,6 +718,38 @@ def q_dedup_cluster(sf_dir: str) -> pd.DataFrame:
     return (
         pd.DataFrame(rows)[["doc_id", "component"]]
         .astype({"doc_id": "int64", "component": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end curation chain (quality filter → exact dedup →
+    near-dup cluster drop → per-language mixing) with every stage in
+    its SQL-twinned configuration — the DuckDB oracle recomputes the
+    ENTIRE pipeline: quality+lang annotation, min-id-per-text exact
+    dedup, derandomized minhash LSH over the survivors, recursive
+    connected components, and the double-Lehmer mixing hash."""
+    from toshi_ray.pipelines.curate import curate_corpus
+
+    corpus = curate_corpus(
+        _docs_ds(sf_dir),
+        min_quality=0.25,
+        dedup_threshold=0.3,
+        rates_ppm={"en": 800_000, "de": 500_000, "fr": 250_000, "es": 0},
+        perm_hash="sql",
+        bucket_cap=1 << 40,  # SQL twin enumerates all bucket pairs
+    )
+    rows = corpus.take_all()
+    if not rows:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pred_lang": pd.Series(dtype="object"),
+                             "quality_x1e6": pd.Series(dtype="int64")})
+    df = pd.DataFrame(rows)[["doc_id", "pred_lang", "quality"]]
+    df["quality_x1e6"] = np.floor(df["quality"] * 1e6).astype("int64")
+    return (
+        df.drop(columns=["quality"])
+        .astype({"doc_id": "int64"})
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
@@ -1877,6 +1983,7 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM scored WHERE n_agree >= 20 ORDER BY id_a, id_b
 """
     sql["dedup_cluster"] = dedup_cluster_sql()
+    sql["curate_corpus"] = curate_corpus_sql()
     sql["fingerprint"] = fingerprint_sql()
 
     # decoded geometry + pixel checksum of the synthesized PGM gradients;
@@ -2504,9 +2611,10 @@ FROM v ORDER BY doc_id
 # 50 entries only (observed: CORRECTNESS_r03.json == first 50 of the r3
 # ordering, the trailing 20 had no row).  Round-4 ordering therefore leads
 # with the 20 queries missing a round-3 driver row (15 never driver-verified
-# anywhere + 5 verified only in r1/r2), so that r3+r4 rows jointly cover all
-# 70 registered queries.  The remaining 50 are r3-green and keep their
-# relative order.
+# anywhere + 5 verified only in r1/r2) followed by round-4's new
+# `curate_corpus`, so that r3+r4 rows jointly cover all 71 registered
+# queries.  The remaining 50 are r3-green and keep their relative order
+# (the last one falls outside the 50-row window but keeps its r3 row).
 QUERIES = {
     # -- never driver-verified (no row in CORRECTNESS_r01/r02/r03) --
     "vocab_stats": q_vocab_stats,
@@ -2530,6 +2638,8 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "events_sessions": q_events_sessions,
     "fingerprint": q_fingerprint,
+    # -- new in round 4 --
+    "curate_corpus": q_curate_corpus,
     # -- green driver rows in CORRECTNESS_r03 --
     "term_topk": q_term_topk,
     "snippet_topk": q_snippet_topk,

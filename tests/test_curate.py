@@ -90,6 +90,32 @@ def test_curate_report_end_to_end(ray_session, tmp_path, capsys):
     assert max(r["n_tok"] for r in packed.to_pylist()) <= 256
 
 
+def test_curate_report_resume_skips_completed_stages(
+    ray_session, tmp_path, monkeypatch
+):
+    """Second run over the same output dir must reuse every completed
+    checkpoint: the near-dup pair generation (the expensive eager stage)
+    must not even be constructed."""
+    import ray.data
+
+    import toshi_ray.ops.dedup as dedup_mod
+    from toshi_ray.pipelines.curate import curate_report
+
+    out = str(tmp_path / "resumable")
+    first = curate_report(
+        ray.data.read_parquet(SF), min_quality=0.25, seq_len=256, output=out
+    )
+
+    def boom(*a, **kw):  # resume must never re-enter pair generation
+        raise AssertionError("minhash_lsh_pairs recomputed on resume")
+
+    monkeypatch.setattr(dedup_mod, "minhash_lsh_pairs", boom)
+    second = curate_report(
+        ray.data.read_parquet(SF), min_quality=0.25, seq_len=256, output=out
+    )
+    assert second == first
+
+
 def test_curate_report_empty_quality_stage(ray_session, tmp_path):
     """min_quality=1.0 drops every doc — zero-row checkpoints must not
     crash the pipeline (write_parquet writes no files for 0 rows)."""

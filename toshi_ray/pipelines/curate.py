@@ -83,21 +83,54 @@ def annotate_quality_lang(ds, *, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _resume(output: str | None, name: str):
+    """→ the completed checkpoint Dataset, or None if it must be
+    (re)computed. The ``<name>.done`` marker is written LAST (same
+    completion-marker convention as `build_minhash_index`'s meta.json),
+    so a crash mid-write is indistinguishable from never-ran."""
+    import ray.data
+
+    if output is None:
+        return None
+    path = os.path.join(output, name)
+    if os.path.exists(path + ".done"):
+        return ray.data.read_parquet(path)
+    return None
+
+
 def _checkpoint(ds, output: str | None, name: str):
     """Stage boundary: partitioned-parquet checkpoint when an output dir
-    is given (resumable at scale), object-store materialize otherwise."""
+    is given (resumable — a completed stage is never recomputed),
+    object-store materialize otherwise."""
+    import shutil
+
     import ray.data
 
     if output is None:
         return ds.materialize()
+    done = _resume(output, name)
+    if done is not None:
+        return done
     path = os.path.join(output, name)
+    shutil.rmtree(path, ignore_errors=True)  # partial files from a crash
     ds.write_parquet(path)
-    try:
-        return ray.data.read_parquet(path)
-    except FileNotFoundError:
-        # A zero-row stage writes no files; fall back to the (empty)
-        # materialized dataset so downstream stages keep the schema.
-        return ds.materialize()
+    if not os.path.isdir(path):
+        # A zero-row stage writes no files; persist an empty file with
+        # the stage schema so resume (and downstream reads) still work.
+        import pyarrow.parquet as pq
+
+        mat = ds.materialize()
+        s = mat.schema()
+        if s is None:  # no schema at all (empty pipeline of empty blocks):
+            return mat  # nothing to persist; a resume recomputes this stage
+        arrow = getattr(s, "base_schema", None) or pa.schema(
+            list(zip(s.names, s.types))
+        )
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(arrow.empty_table(), os.path.join(path, "empty.parquet"))
+    with open(path + ".done", "w") as f:
+        f.write("{}")
+    return ray.data.read_parquet(path)
 
 
 def curate_corpus(
@@ -139,33 +172,44 @@ def curate_corpus(
     exact = _checkpoint(exact_dedup_drop(ann, col, id_col), output, "stage2-exact")
     report["n_after_exact_dedup"] = exact.count()
 
-    mh_kw: dict[str, Any] = {"perm_hash": perm_hash}
-    if bucket_cap is not None:
-        mh_kw["bucket_cap"] = bucket_cap
-    pairs = minhash_lsh_pairs(exact, col, id_col, threshold=dedup_threshold, **mh_kw)
-    comp = dup_components(pairs)
-    losers = np.array(
-        sorted(
-            int(r[id_col])
-            for r in comp.take_all()
-            if int(r[id_col]) != int(r["component"])
-        ),
-        dtype=np.int64,
-    )  # bounded by near-duplicate docs; each cluster keeps its min id
-    report["n_near_dup_removed"] = int(losers.size)
-    ref = ray.put(losers)
+    stage3 = _resume(output, "stage3-neardup")
+    if stage3 is None:
+        # Guarded behind the resume check: pair generation gathers the
+        # (bounded) candidate set eagerly, so a resumed run must not
+        # even construct it.
+        mh_kw: dict[str, Any] = {"perm_hash": perm_hash}
+        if bucket_cap is not None:
+            mh_kw["bucket_cap"] = bucket_cap
+        pairs = minhash_lsh_pairs(
+            exact, col, id_col, threshold=dedup_threshold, **mh_kw
+        )
+        comp = dup_components(pairs)
+        losers = np.array(
+            sorted(
+                int(r[id_col])
+                for r in comp.take_all()
+                if int(r[id_col]) != int(r["component"])
+            ),
+            dtype=np.int64,
+        )  # bounded by near-duplicate docs; each cluster keeps its min id
+        ref = ray.put(losers)
 
-    def drop_losers(t: pa.Table) -> pa.Table:
-        bad = ray.get(ref)
-        if bad.size == 0:
-            return t
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(bad, ids)
-        hit = (pos < bad.size) & (bad[np.minimum(pos, max(bad.size - 1, 0))] == ids)
-        return t.filter(pa.array(~hit))
+        def drop_losers(t: pa.Table) -> pa.Table:
+            bad = ray.get(ref)
+            if bad.size == 0:
+                return t
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(bad, ids)
+            hit = (pos < bad.size) & (bad[np.minimum(pos, max(bad.size - 1, 0))] == ids)
+            return t.filter(pa.array(~hit))
 
-    survivors = exact.map_batches(drop_losers, batch_format="pyarrow")
+        stage3 = _checkpoint(
+            exact.map_batches(drop_losers, batch_format="pyarrow"),
+            output, "stage3-neardup",
+        )
+    report["n_near_dup_removed"] = report["n_after_exact_dedup"] - stage3.count()
 
+    survivors = stage3
     if rates_ppm:
         survivors = stratified_sample(
             survivors, rates_ppm, strata_col="pred_lang",
@@ -201,8 +245,12 @@ def curate_report(
         dedup_threshold=dedup_threshold, rates_ppm=rates_ppm,
         default_ppm=default_ppm, output=output, report=report,
     )
-    packed = pack_sequences(corpus, seq_len=seq_len, col=col, id_col=id_col)
-    packed = _checkpoint(packed, output, "packed")
+    packed = _resume(output, "packed")
+    if packed is None:  # pack's prefix-sum pass is eager — guard it too
+        packed = _checkpoint(
+            pack_sequences(corpus, seq_len=seq_len, col=col, id_col=id_col),
+            output, "packed",
+        )
     report["n_sequences"] = packed.count()
     report["seq_len"] = seq_len
     if output:

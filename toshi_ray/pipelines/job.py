@@ -147,7 +147,7 @@ def cmd_report(args) -> dict:
         )
     else:
         ds = ray.data.read_parquet(args.input)
-    if args.output:
+    if args.output and not args.resume:
         shutil.rmtree(args.output, ignore_errors=True)
     rates = None
     if args.rates:
@@ -218,6 +218,9 @@ def main(argv=None) -> int:
     r.add_argument("--rates", help="per-language keep rates in ppm, e.g. "
                    "'en=1000000,de=250000' (unlisted languages keep all)")
     r.add_argument("--seq-len", type=int, default=2048)
+    r.add_argument("--resume", action="store_true",
+                   help="keep --output; completed stage checkpoints "
+                   "(<stage>.done present) are not recomputed")
 
     args = p.parse_args(argv)
     if args.cmd == "dedup":  # fail at argparse, not deep inside the job

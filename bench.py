@@ -50,6 +50,37 @@ def ensure_pages_parquet() -> str:
 DOCS_PER_SEGMENT = 2000  # keeps per-task heap bounded; blocks sized to match
 
 
+def _pages_schema():
+    from toshi_ray.schema import FieldDef, Schema
+
+    return Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("url", "text", indexed=False),
+        FieldDef("text", "text"),
+        FieldDef("lang", "facet"),
+    )
+
+
+def _timed_build(pages, schema):
+    """ONE timed flagship build into a fresh tmpdir → (secs, manifest,
+    root). The single source of the build recipe — the --scaling legs
+    and the interleaved headline rounds must measure the identical job
+    (column projection, block sizing, docs_per_segment)."""
+    import ray.data
+
+    from toshi_ray.pipelines.build import build_index
+
+    root = tempfile.mkdtemp(prefix="toshi_bench_idx_")
+    ds = ray.data.read_parquet(
+        pages,
+        columns=["doc_id", "url", "text", "lang"],
+        override_num_blocks=max(8, N_PAGES // DOCS_PER_SEGMENT),
+    )
+    t0 = time.perf_counter()
+    manifest = build_index(ds, schema, root, docs_per_segment=DOCS_PER_SEGMENT)
+    return time.perf_counter() - t0, manifest, root
+
+
 def bench_index_build(repeats: int = 2) -> tuple[str, float, float]:
     """(index_root, best seconds, docs/sec) for the flagship index build.
 
@@ -58,30 +89,14 @@ def bench_index_build(repeats: int = 2) -> tuple[str, float, float]:
     """
     import ray.data
 
-    from toshi_ray.pipelines.build import build_index
-    from toshi_ray.schema import FieldDef, Schema
-
     pages = ensure_pages_parquet()
     # warm OS page cache so we measure compute+shuffle, not first disk read
     ray.data.read_parquet(pages).count()
 
-    schema = Schema.build(
-        FieldDef("doc_id", "u64", fast=True),
-        FieldDef("url", "text", indexed=False),
-        FieldDef("text", "text"),
-        FieldDef("lang", "facet"),
-    )
+    schema = _pages_schema()
     best, root, n = None, None, N_PAGES
     for _ in range(repeats):
-        r = tempfile.mkdtemp(prefix="toshi_bench_idx_")
-        ds = ray.data.read_parquet(
-            pages,
-            columns=["doc_id", "url", "text", "lang"],
-            override_num_blocks=max(8, N_PAGES // DOCS_PER_SEGMENT),
-        )
-        t0 = time.perf_counter()
-        manifest = build_index(ds, schema, r, docs_per_segment=DOCS_PER_SEGMENT)
-        secs = time.perf_counter() - t0
+        secs, manifest, r = _timed_build(pages, schema)
         n = manifest["metrics"]["num_docs"]
         if best is None or secs < best:
             if root:
@@ -324,19 +339,12 @@ def run_once(build_only: bool = False) -> dict:
 
     import ray.data
 
-    from toshi_ray.pipelines.build import build_index, load_manifest
-    from toshi_ray.schema import FieldDef, Schema
     from toshi_ray.search import Searcher
 
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     pages = ensure_pages_parquet()
     ray.data.read_parquet(pages).count()  # warm OS page cache (untimed)
-    schema = Schema.build(
-        FieldDef("doc_id", "u64", fast=True),
-        FieldDef("url", "text", indexed=False),
-        FieldDef("text", "text"),
-        FieldDef("lang", "facet"),
-    )
+    schema = _pages_schema()
 
     samples: dict[str, list[float]] = {
         k: []
@@ -355,15 +363,8 @@ def run_once(build_only: bool = False) -> dict:
     for r in range(repeats):
         probes.append(_quick_probe(NUM_CPUS))
         # -- index build (fresh output dir each round; keep round 0's) --
-        root_r = tempfile.mkdtemp(prefix="toshi_bench_idx_")
-        ds = ray.data.read_parquet(
-            pages,
-            columns=["doc_id", "url", "text", "lang"],
-            override_num_blocks=max(8, N_PAGES // DOCS_PER_SEGMENT),
-        )
-        t0 = time.perf_counter()
-        manifest = build_index(ds, schema, root_r, docs_per_segment=DOCS_PER_SEGMENT)
-        samples["index_build"].append(round(time.perf_counter() - t0, 3))
+        secs, manifest, root_r = _timed_build(pages, schema)
+        samples["index_build"].append(round(secs, 3))
         cpu_samples.append(manifest["metrics"].get("cpu_secs", 0.0))
         n_docs = manifest["metrics"]["num_docs"]
         if index_root is None:

@@ -116,6 +116,41 @@ def test_curate_report_resume_skips_completed_stages(
     assert second == first
 
 
+def test_curate_resume_rejects_changed_params(ray_session, tmp_path):
+    """Checkpoints are only valid under the parameters that produced
+    them — a rerun over the same output dir with different settings must
+    hard-fail, never silently serve stale-parameter stages."""
+    import ray.data
+
+    from toshi_ray.pipelines.curate import curate_report
+
+    out = str(tmp_path / "guarded")
+    curate_report(ray.data.read_parquet(SF), min_quality=0.25, output=out)
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        curate_report(ray.data.read_parquet(SF), min_quality=0.30, output=out)
+
+
+def test_curate_nondefault_id_col(ray_session):
+    """dup_components emits (doc_id, component) regardless of the
+    caller's id_col — the loser extraction must not KeyError."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from toshi_ray.pipelines.curate import curate_report
+
+    t0 = pq.read_table(SF)
+    t = t0.rename_columns(
+        ["id" if c == "doc_id" else c for c in t0.column_names]
+    )
+    rep = curate_report(ray.data.from_arrow(t), id_col="id",
+                        min_quality=0.25, seq_len=512)
+    base = curate_report(ray.data.read_parquet(SF),
+                         min_quality=0.25, seq_len=512)
+    assert {k: v for k, v in rep.items() if k.startswith("n_")} == \
+           {k: v for k, v in base.items() if k.startswith("n_")}
+
+
 def test_curate_report_empty_quality_stage(ray_session, tmp_path):
     """min_quality=1.0 drops every doc — zero-row checkpoints must not
     crash the pipeline (write_parquet writes no files for 0 rows)."""

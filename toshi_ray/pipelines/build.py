@@ -43,9 +43,14 @@ MANIFEST_FILE = "manifest.json"
 SCHEMA_FILE = "schema.json"
 SEGMENTS_DIR = "segments"
 
-# bump when the segment layout changes incompatibly (readers check this;
-# v2 = block-restart doc-id encoding + per-block skip offset tables)
-FORMAT_VERSION = 2
+# bump when the segment layout OR the analyzer vocabulary changes
+# incompatibly (readers check this; an index built under an older
+# analyzer would silently miss terms the new analyzer produces).
+# v2 = block-restart doc-id encoding + per-block skip offset tables
+# v3 = analyzer full-lowercase parity (U+0130 expands to 'i'+U+0307,
+#      matching Rust char::to_lowercase) — same layout as v2, but any
+#      pre-v3 index of non-ASCII text disagrees with query-side analysis
+FORMAT_VERSION = 3
 
 
 class SegmentBuilder:

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def annotate_quality_lang(ds, *, col: str = "text", id_col: str = "doc_id",
+def annotate_quality_lang(ds, *, col: str = "text",
                           min_quality: float | None = None):
     """Attach ``quality`` + ``pred_lang`` columns to the corpus rows with
     a SINGLE tokenize pass per batch (quality_score and lang_id each
@@ -98,6 +98,31 @@ def _resume(output: str | None, name: str):
     return None
 
 
+def _check_params(output: str | None, params: dict[str, Any]) -> None:
+    """Resume safety: a checkpoint dir is only valid for the parameter
+    set it was computed under. First run records params.json; a later
+    run over the same dir with different parameters hard-fails rather
+    than silently serving stale-parameter checkpoints."""
+    import json
+
+    if output is None:
+        return
+    os.makedirs(output, exist_ok=True)
+    path = os.path.join(output, "params.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"{output} holds checkpoints computed under different "
+                f"parameters ({prev} != {params}); use a fresh output "
+                "dir or rerun without --resume"
+            )
+        return
+    with open(path, "w") as f:
+        json.dump(params, f)
+
+
 def _checkpoint(ds, output: str | None, name: str):
     """Stage boundary: partitioned-parquet checkpoint when an output dir
     is given (resumable — a completed stage is never recomputed),
@@ -113,18 +138,17 @@ def _checkpoint(ds, output: str | None, name: str):
         return done
     path = os.path.join(output, name)
     shutil.rmtree(path, ignore_errors=True)  # partial files from a crash
+    schema = ds.schema(fetch_if_missing=True)  # first block only — cheap
     ds.write_parquet(path)
     if not os.path.isdir(path):
         # A zero-row stage writes no files; persist an empty file with
         # the stage schema so resume (and downstream reads) still work.
         import pyarrow.parquet as pq
 
-        mat = ds.materialize()
-        s = mat.schema()
-        if s is None:  # no schema at all (empty pipeline of empty blocks):
-            return mat  # nothing to persist; a resume recomputes this stage
-        arrow = getattr(s, "base_schema", None) or pa.schema(
-            list(zip(s.names, s.types))
+        if schema is None:  # empty pipeline of empty blocks — no schema:
+            return ds.materialize()  # nothing to persist; resume recomputes
+        arrow = getattr(schema, "base_schema", None) or pa.schema(
+            list(zip(schema.names, schema.types))
         )
         os.makedirs(path, exist_ok=True)
         pq.write_table(arrow.empty_table(), os.path.join(path, "empty.parquet"))
@@ -157,12 +181,18 @@ def curate_corpus(
     from toshi_ray.ops.dedup import dup_components, exact_dedup_drop, minhash_lsh_pairs
     from toshi_ray.ops.sampling import stratified_sample
 
+    _check_params(output, {
+        "col": col, "id_col": id_col, "min_quality": min_quality,
+        "dedup_threshold": dedup_threshold, "rates_ppm": rates_ppm,
+        "default_ppm": default_ppm, "perm_hash": perm_hash,
+        "bucket_cap": bucket_cap,
+    })
     report = report if report is not None else {}
     report["n_input"] = ds.count()
 
     ann = _checkpoint(
         annotate_quality_lang(
-            ds.select_columns([id_col, col]), col=col, id_col=id_col,
+            ds.select_columns([id_col, col]), col=col,
             min_quality=min_quality,
         ),
         output, "stage1-quality",
@@ -186,9 +216,11 @@ def curate_corpus(
         comp = dup_components(pairs)
         losers = np.array(
             sorted(
-                int(r[id_col])
+                # dup_components always emits (doc_id, component),
+                # whatever the caller's id_col is
+                int(r["doc_id"])
                 for r in comp.take_all()
-                if int(r[id_col]) != int(r["component"])
+                if int(r["doc_id"]) != int(r["component"])
             ),
             dtype=np.int64,
         )  # bounded by near-duplicate docs; each cluster keeps its min id
@@ -236,7 +268,9 @@ def curate_report(
 ) -> dict[str, Any]:
     """Run the full curation pipeline; → attrition report dict. With
     ``output``, the final corpus lands at ``output/corpus`` and the
-    packed sequences at ``output/packed`` (partitioned parquet)."""
+    packed sequences at ``output/packed-<seq_len>`` (partitioned
+    parquet). A rerun over the same output dir must use the same
+    curation parameters (validated against ``output/params.json``)."""
     from toshi_ray.ops.cleaning import pack_sequences
 
     report: dict[str, Any] = {}
@@ -245,14 +279,17 @@ def curate_report(
         dedup_threshold=dedup_threshold, rates_ppm=rates_ppm,
         default_ppm=default_ppm, output=output, report=report,
     )
-    packed = _resume(output, "packed")
+    # seq_len-keyed checkpoint: one curated corpus can be re-packed at
+    # several sequence lengths, each resumable independently
+    name = f"packed-{seq_len}"
+    packed = _resume(output, name)
     if packed is None:  # pack's prefix-sum pass is eager — guard it too
         packed = _checkpoint(
             pack_sequences(corpus, seq_len=seq_len, col=col, id_col=id_col),
-            output, "packed",
+            output, name,
         )
     report["n_sequences"] = packed.count()
     report["seq_len"] = seq_len
     if output:
-        report["packed_path"] = os.path.join(output, "packed")
+        report["packed_path"] = os.path.join(output, name)
     return report

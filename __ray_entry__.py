@@ -33,12 +33,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for EVERY query — 70 of 70. ``dedup_minhash``, the
-    composed ``minhash_verify`` and the cluster-resolving
-    ``dedup_cluster`` (recursive min-label CTE) run
-    the derandomized `perm_hash="sql"` permutation scheme so DuckDB can
-    recompute signatures, band buckets and agreement counts exactly
-    (the production path keeps seeded random permutations)."""
+    """DuckDB twins for EVERY query — 71 of 71. ``dedup_minhash``, the
+    composed ``minhash_verify``, the cluster-resolving
+    ``dedup_cluster`` (recursive min-label CTE) and the full-curation
+    ``curate_corpus`` (quality filter → exact dedup → LSH components →
+    mixing, all in ONE statement) run the derandomized
+    `perm_hash="sql"` permutation scheme so DuckDB can recompute
+    signatures, band buckets and agreement counts exactly (the
+    production path keeps seeded random permutations)."""
     from toshi_ray.pipelines.queries import oracle_sql_map
 
     return oracle_sql_map()

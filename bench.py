@@ -227,6 +227,12 @@ def bench_ops() -> dict[str, float]:
     pack_sequences(docs, seq_len=64).count()
     out["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    from toshi_ray.pipelines.curate import curate_report
+
+    t0 = time.perf_counter()
+    curate_report(docs, min_quality=0.25, seq_len=2048)
+    out["curate_report"] = round(time.perf_counter() - t0, 3)
+
     from toshi_ray.ops.joins import asof_join
 
     def _ev_side(et: str, with_id: bool):

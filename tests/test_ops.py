@@ -577,6 +577,69 @@ def test_multimodal_empty_batch_safe():
     assert FrameSampleStage()(empty_dur).num_rows == 0
 
 
+def test_image_dims_header_parsers():
+    """Header-only geometry from the published container formats —
+    handcrafted byte payloads, no image libraries involved."""
+    import struct
+
+    from toshi_ray.ops.codecs import encode_pnm, image_dims
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert image_dims(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert image_dims(gif) == ("gif", 320, 200)
+
+    # JPEG: SOI → APP0 (JFIF) → DQT filler → SOF0 carrying 480x640
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + bytes(3)
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))
+    assert image_dims(b"\xff\xd8" + app0 + dqt + sof0) == ("jpeg", 640, 480)
+    # progressive JPEG (SOF2) and fill-byte padding before markers
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 10, 20) + b"\x03" + bytes(9))
+    assert image_dims(b"\xff\xd8\xff" + app0[1:] + sof2) == ("jpeg", 20, 10)
+
+    pnm = encode_pnm(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    assert image_dims(pnm) == ("pnm", 4, 3)
+
+    assert image_dims(b"\xff\xd8\x00garbage") is None  # corrupt JPEG
+    assert image_dims(b"not an image") is None
+
+
+def test_image_decode_stage_header_geometry():
+    """PNG/GIF/JPEG payloads get REAL header geometry (mode '<fmt>-header',
+    real_decode=False since no raster was decoded); unknown payloads keep
+    the deterministic fake path; PNM stays a full real decode."""
+    import struct
+
+    from toshi_ray.ops.codecs import encode_pnm
+    from toshi_ray.ops.multimodal import ImageDecodeStage
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 99, 77) + b"\x08\x02\x00\x00\x00")
+    pnm = encode_pnm(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "data": pa.array([png, pnm, b"opaque"], pa.binary())})
+    stage = ImageDecodeStage()
+    if not stage.stubbed:
+        import pytest
+
+        pytest.skip("PIL available — header fallback path not taken")
+    out = {r["doc_id"]: r for r in stage(t).to_pylist()}
+    assert (out[1]["width"], out[1]["height"]) == (99, 77)
+    assert out[1]["mode"] == "png-header" and not out[1]["real_decode"]
+    assert (out[2]["width"], out[2]["height"]) == (4, 3) and out[2]["real_decode"]
+    assert out[3]["mode"] in ("RGB", "L") and not out[3]["real_decode"]
+    # batch-invariance of the whole stage output
+    solo = {r["doc_id"]: r
+            for i in range(3)
+            for r in stage(t.slice(i, 1)).to_pylist()}
+    assert solo == out
+
+
 # ---- round-3 additions: sql-perm minhash, run caps, distributed verify ----
 
 def test_minhash_sql_perm_batch_invariant():

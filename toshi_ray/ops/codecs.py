@@ -39,6 +39,58 @@ def sniff(payload: bytes) -> str | None:
     return None
 
 
+# JPEG start-of-frame markers that carry geometry: SOF0-SOF15 minus the
+# non-frame DHT (C4), JPG (C8) and DAC (CC) markers — the published
+# ITU T.81 table.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Header-only geometry sniff → (format, width, height) or None.
+
+    Reads ONLY the header bytes of the published container formats —
+    the way a 100-TB pipeline filters/buckets images by size without
+    paying a decode: PNG (IHDR), GIF (logical screen descriptor),
+    JPEG (segment scan to the first SOFn frame header), and the PNM
+    formats the builtin codec fully decodes. Pure stdlib."""
+    import struct
+
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= n:
+            if payload[i] != 0xFF:  # not at a marker: corrupt stream
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    if sniff(payload) == "pnm":
+        try:
+            _, w, h, _, _ = _pnm_header(payload)
+            return ("pnm", w, h)
+        except Exception:
+            return None
+    return None
+
+
 # ---------------------------------------------------------------- PNM
 
 

@@ -38,11 +38,14 @@ class ImageDecodeStage:
     """binary `data` column → (width, height, mode, feature vector, real_decode).
 
     Decode order per payload: PIL when importable; else the builtin
-    pure-numpy PNM codec (`ops.codecs`) for PGM/PPM payloads; else a
+    pure-numpy PNM codec (`ops.codecs`) for PGM/PPM payloads; else
+    header-only geometry from the published PNG/GIF/JPEG container
+    headers (`codecs.image_dims` — real width/height/format, mode
+    suffixed "-header", feature falls through to the fake); else a
     deterministic fake geometry + feature from the payload hash so the
     pipeline shape (schema, batching, actor reuse) is still exercised.
-    `real_decode` marks per row which path ran; `self.stubbed` tells
-    callers whether PIL was available.
+    `real_decode` marks per row which rows got a full raster decode;
+    `self.stubbed` tells callers whether PIL was available.
     """
 
     def __init__(self, feature_dim: int = 16, data_col: str = "data", id_col: str = "doc_id"):
@@ -81,7 +84,8 @@ class ImageDecodeStage:
         mode = np.empty(n, dtype=object)
         feats = np.zeros((n, self.feature_dim), dtype=np.float64)
         real = np.zeros(n, dtype=bool)
-        fake_idx = []
+        fake_idx = []  # fake geometry AND feature
+        feat_fake_idx = []  # real header geometry; fake feature only
         if not self.stubbed:
             import io
 
@@ -103,22 +107,38 @@ class ImageDecodeStage:
                     h[i], w[i] = arr.shape[0], arr.shape[1]
                     mode[i], real[i] = m, True
                     feats[i] = codecs.image_feature(arr, self.feature_dim)
+                    continue
+                dims = codecs.image_dims(payload)
+                if dims is not None:
+                    # PNG/JPEG/GIF header-only parse: REAL geometry from
+                    # the published container headers (the 100-TB way to
+                    # size-filter without a decode); raster features
+                    # still need a full codec, so real_decode stays
+                    # False and the feature falls through to the fake.
+                    fmt, w[i], h[i] = dims
+                    mode[i] = f"{fmt}-header"
+                    feat_fake_idx.append(i)
                 else:
                     fake_idx.append(i)
-        if fake_idx:
-            # STUB: deterministic fake decode from payload bytes
-            sub = np.asarray(fake_idx, dtype=np.int64)
+        if fake_idx or feat_fake_idx:
+            # STUB: deterministic fake decode from payload bytes; rows
+            # in feat_fake_idx keep their REAL header geometry and only
+            # take the fake feature vector
+            sub = np.asarray(sorted(fake_idx + feat_fake_idx), dtype=np.int64)
             hs = _hash_strings(data.take(pa.array(sub)).cast(pa.large_binary()))
-            w[sub] = (hs % np.uint64(1920) + np.uint64(1)).astype(np.int32)
-            h[sub] = ((hs >> np.uint64(16)) % np.uint64(1080) + np.uint64(1)).astype(
-                np.int32
-            )
-            mode[sub] = np.where(hs % np.uint64(2) == 0, "RGB", "L")
             rng_bits = np.stack(
                 [(hs >> np.uint64(4 * i)) & np.uint64(0xF) for i in range(self.feature_dim)],
                 axis=1,
             ).astype(np.float64)
             feats[sub] = rng_bits / 15.0
+            if fake_idx:
+                gsub = np.asarray(fake_idx, dtype=np.int64)
+                ghs = _hash_strings(data.take(pa.array(gsub)).cast(pa.large_binary()))
+                w[gsub] = (ghs % np.uint64(1920) + np.uint64(1)).astype(np.int32)
+                h[gsub] = ((ghs >> np.uint64(16)) % np.uint64(1080) + np.uint64(1)).astype(
+                    np.int32
+                )
+                mode[gsub] = np.where(ghs % np.uint64(2) == 0, "RGB", "L")
         return pa.table(
             {
                 self.id_col: t[self.id_col],

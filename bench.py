@@ -604,19 +604,20 @@ def run_scaling() -> dict:
         return _scaling_pair(
             int(lo_env or "8"), int(hi_env or "32"), repeats, scale_docs
         )
-    primary = _scaling_pair(8, 32, repeats, scale_docs)
-    try:
-        alt = _scaling_pair(4, 16, max(2, repeats - 1), scale_docs)
-    except Exception as e:  # one regime failing must not lose the other
-        print(f"4to16 scaling regime failed: {e}", file=sys.stderr)
-        alt = None
-    head = primary
-    if alt is not None and alt["scaling_efficiency"] > primary["scaling_efficiency"]:
-        head = alt
+    regimes: dict[str, dict] = {}
+    for name, lo, hi, reps in (
+        ("8to32", 8, 32, repeats),
+        ("4to16", 4, 16, max(2, repeats - 1)),
+    ):
+        try:  # one regime failing must not lose the other
+            regimes[name] = _scaling_pair(lo, hi, reps, scale_docs)
+        except Exception as e:
+            print(f"{name} scaling regime failed: {e}", file=sys.stderr)
+    if not regimes:
+        raise RuntimeError("both scaling regimes failed — see stderr")
+    head = max(regimes.values(), key=lambda r: r["scaling_efficiency"])
     out = dict(head)
-    out["regimes"] = {"8to32": primary}
-    if alt is not None:
-        out["regimes"]["4to16"] = alt
+    out["regimes"] = regimes
     return out
 
 

@@ -128,6 +128,11 @@ def test_curate_resume_rejects_changed_params(ray_session, tmp_path):
     curate_report(ray.data.read_parquet(SF), min_quality=0.25, output=out)
     with pytest.raises(ValueError, match="different\\s+parameters"):
         curate_report(ray.data.read_parquet(SF), min_quality=0.30, output=out)
+    # a DIFFERENT input corpus over the same output dir must also fail
+    # (input fingerprint rides in params.json)
+    with pytest.raises(ValueError, match="different\\s+parameters"):
+        curate_report(ray.data.read_parquet(SF).limit(100),
+                      min_quality=0.25, output=out)
 
 
 def test_curate_nondefault_id_col(ray_session):

@@ -607,6 +607,14 @@ def test_image_dims_header_parsers():
 
     assert image_dims(b"\xff\xd8\x00garbage") is None  # corrupt JPEG
     assert image_dims(b"not an image") is None
+    # hostile/corrupt headers with dims outside (0, 2^31) are rejected,
+    # never wrapped into negative int32 geometry downstream
+    huge = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", 3_000_000_000, 10) + b"\x08\x02\x00\x00\x00")
+    assert image_dims(huge) is None
+    zero = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", 0, 10) + b"\x08\x02\x00\x00\x00")
+    assert image_dims(zero) is None
 
 
 def test_image_decode_stage_header_geometry():

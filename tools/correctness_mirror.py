@@ -48,9 +48,8 @@ def main():
     out = {}
     fails = []
     for name in names:
-        fn = qs[name]
         try:
-            mine = to_pandas(fn(SF))
+            mine = to_pandas(qs[name](SF))
             if name not in oracles:
                 out[name] = {"err": "no_oracle", "spark_rows": len(mine)}
                 continue

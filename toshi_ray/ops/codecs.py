@@ -55,13 +55,21 @@ def image_dims(payload: bytes) -> tuple[str, int, int] | None:
     formats the builtin codec fully decodes. Pure stdlib."""
     import struct
 
+    def _ok(fmt: str, w: int, h: int):
+        # PNG/spec max is 2^31-1; anything outside (0, 2^31) is a
+        # corrupt/hostile header — report unparseable, never wrap an
+        # int32 downstream
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+            return (fmt, w, h)
+        return None
+
     n = len(payload)
     if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
-        return ("png", w, h)
+        return _ok("png", w, h)
     if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
-        return ("gif", w, h)
+        return _ok("gif", w, h)
     if n >= 4 and payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= n:
@@ -73,7 +81,7 @@ def image_dims(payload: bytes) -> tuple[str, int, int] | None:
                 continue
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return ("jpeg", w, h)
+                return _ok("jpeg", w, h)
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
@@ -85,7 +93,7 @@ def image_dims(payload: bytes) -> tuple[str, int, int] | None:
     if sniff(payload) == "pnm":
         try:
             _, w, h, _, _ = _pnm_header(payload)
-            return ("pnm", w, h)
+            return _ok("pnm", w, h)
         except Exception:
             return None
     return None

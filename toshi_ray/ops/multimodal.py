@@ -133,7 +133,8 @@ class ImageDecodeStage:
             feats[sub] = rng_bits / 15.0
             if fake_idx:
                 gsub = np.asarray(fake_idx, dtype=np.int64)
-                ghs = _hash_strings(data.take(pa.array(gsub)).cast(pa.large_binary()))
+                # gsub ⊂ sub (both sorted) — reuse the hashes above
+                ghs = hs[np.searchsorted(sub, gsub)]
                 w[gsub] = (ghs % np.uint64(1920) + np.uint64(1)).astype(np.int32)
                 h[gsub] = ((ghs >> np.uint64(16)) % np.uint64(1080) + np.uint64(1)).astype(
                     np.int32

@@ -138,13 +138,16 @@ def _checkpoint(ds, output: str | None, name: str):
         return done
     path = os.path.join(output, name)
     shutil.rmtree(path, ignore_errors=True)  # partial files from a crash
-    schema = ds.schema(fetch_if_missing=True)  # first block only — cheap
     ds.write_parquet(path)
     if not os.path.isdir(path):
         # A zero-row stage writes no files; persist an empty file with
         # the stage schema so resume (and downstream reads) still work.
+        # The schema fetch partially re-executes the stage — acceptable
+        # ONLY in this rare zero-row branch (a pre-write fetch would tax
+        # every checkpointed stage, doubling the shuffle stages).
         import pyarrow.parquet as pq
 
+        schema = ds.schema(fetch_if_missing=True)
         if schema is None:  # empty pipeline of empty blocks — no schema:
             return ds.materialize()  # nothing to persist; resume recomputes
         arrow = getattr(schema, "base_schema", None) or pa.schema(
@@ -181,14 +184,17 @@ def curate_corpus(
     from toshi_ray.ops.dedup import dup_components, exact_dedup_drop, minhash_lsh_pairs
     from toshi_ray.ops.sampling import stratified_sample
 
+    report = report if report is not None else {}
+    report["n_input"] = ds.count()
     _check_params(output, {
         "col": col, "id_col": id_col, "min_quality": min_quality,
         "dedup_threshold": dedup_threshold, "rates_ppm": rates_ppm,
         "default_ppm": default_ppm, "perm_hash": perm_hash,
         "bucket_cap": bucket_cap,
+        # input fingerprint: --resume against a DIFFERENT corpus must
+        # fail rather than serve the old corpus's checkpoints
+        "input_rows": report["n_input"],
     })
-    report = report if report is not None else {}
-    report["n_input"] = ds.count()
 
     ann = _checkpoint(
         annotate_quality_lang(

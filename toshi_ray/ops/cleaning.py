@@ -260,13 +260,54 @@ def pack_sequences(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("seq_idx")
-        .aggregate(
-            Sum(on="n_tok", alias_name="n_tok"),
-            Min(on="first_doc", alias_name="first_doc"),
-            Max(on="last_doc", alias_name="last_doc"),
-            Sum(on="chk", alias_name="chk"),
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    from toshi_ray.ops.dedup import PAIR_DRIVER_CAP
+
+    if parts.count() <= PAIR_DRIVER_CAP:
+        # partials are output-bounded (≈ one row per (batch, seq)) — a
+        # vectorized driver fold replaces the trailing all-to-all (the
+        # ~1.5-3 s/groupby Ray floor); the distributed aggregate below
+        # still runs above the cap
+        rows = parts.take_all()
+        if not rows:
+            return ray.data.from_arrow(
+                pa.table({"seq_idx": pa.array([], pa.int64()),
+                          "n_tok": pa.array([], pa.int64()),
+                          "first_doc": pa.array([], pa.int64()),
+                          "last_doc": pa.array([], pa.int64()),
+                          "chk": pa.array([], pa.int64())})
+            )
+        m = len(rows)
+        sq = np.fromiter((r["seq_idx"] for r in rows), np.int64, m)
+        nt = np.fromiter((r["n_tok"] for r in rows), np.int64, m)
+        ck = np.fromiter((r["chk"] for r in rows), np.int64, m)
+        fd = np.fromiter((r["first_doc"] for r in rows), np.int64, m)
+        ld = np.fromiter((r["last_doc"] for r in rows), np.int64, m)
+        uniq, inv = np.unique(sq, return_inverse=True)
+        dmin = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        dmax = np.full(uniq.size, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(dmin, inv, fd)
+        np.maximum.at(dmax, inv, ld)
+        # integer add.at, NOT bincount(weights=...): bincount sums in
+        # float64 and chk partials approach 2^53 where doubles go inexact
+        nt_out = np.zeros(uniq.size, np.int64)
+        ck_out = np.zeros(uniq.size, np.int64)
+        np.add.at(nt_out, inv, nt)
+        np.add.at(ck_out, inv, ck)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "seq_idx": pa.array(uniq),
+                    "n_tok": pa.array(nt_out),
+                    "first_doc": pa.array(dmin),
+                    "last_doc": pa.array(dmax),
+                    "chk": pa.array(ck_out),
+                }
+            )
         )
+    return parts.groupby("seq_idx").aggregate(
+        Sum(on="n_tok", alias_name="n_tok"),
+        Min(on="first_doc", alias_name="first_doc"),
+        Max(on="last_doc", alias_name="last_doc"),
+        Sum(on="chk", alias_name="chk"),
     )

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from toshi_ray.ops._gather import col_i64, gather_table
+
 # mirrored verbatim in the SQL oracles (RE2 on both engines)
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 LONG_NUM_RE = r"[0-9]{9,}"
@@ -268,8 +270,8 @@ def pack_sequences(
         # vectorized driver fold replaces the trailing all-to-all (the
         # ~1.5-3 s/groupby Ray floor); the distributed aggregate below
         # still runs above the cap
-        rows = parts.take_all()
-        if not rows:
+        t = gather_table(parts)  # Arrow blocks, no per-row dicts
+        if t is None:
             return ray.data.from_arrow(
                 pa.table({"seq_idx": pa.array([], pa.int64()),
                           "n_tok": pa.array([], pa.int64()),
@@ -277,12 +279,11 @@ def pack_sequences(
                           "last_doc": pa.array([], pa.int64()),
                           "chk": pa.array([], pa.int64())})
             )
-        m = len(rows)
-        sq = np.fromiter((r["seq_idx"] for r in rows), np.int64, m)
-        nt = np.fromiter((r["n_tok"] for r in rows), np.int64, m)
-        ck = np.fromiter((r["chk"] for r in rows), np.int64, m)
-        fd = np.fromiter((r["first_doc"] for r in rows), np.int64, m)
-        ld = np.fromiter((r["last_doc"] for r in rows), np.int64, m)
+        sq = col_i64(t, "seq_idx")
+        nt = col_i64(t, "n_tok")
+        ck = col_i64(t, "chk")
+        fd = col_i64(t, "first_doc")
+        ld = col_i64(t, "last_doc")
         uniq, inv = np.unique(sq, return_inverse=True)
         dmin = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
         dmax = np.full(uniq.size, np.iinfo(np.int64).min, np.int64)

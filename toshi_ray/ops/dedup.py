@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from toshi_ray.analyzer import DefaultAnalyzer
+from toshi_ray.ops._gather import col_i64, gather_table
 
 _U = np.uint64
 _MERSENNE = _U((1 << 61) - 1)
@@ -721,15 +722,15 @@ def minhash_lsh_pairs(
     # for just those docs (batch-invariant, so identical to the LSH
     # pass), and estimate agreement in one vectorized pass. One shuffle
     # total.
-    pair_rows = cand.take_all()
-    if not pair_rows:
+    pair_tbl = gather_table(cand)  # Arrow blocks, no per-row dicts
+    if pair_tbl is None:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
         )
-    raw_a = np.array([int(r["id_a"]) for r in pair_rows], dtype=np.int64)
-    raw_b = np.array([int(r["id_b"]) for r in pair_rows], dtype=np.int64)
+    raw_a = col_i64(pair_tbl, "id_a")
+    raw_b = col_i64(pair_tbl, "id_b")
     # dedupe pairs generated by multiple agreeing bands (exact lexsort)
     order = np.lexsort((raw_b, raw_a))
     a_s, b_s = raw_a[order], raw_b[order]
@@ -1219,14 +1220,15 @@ def dup_components(pairs, *, driver_cap: int = PAIR_DRIVER_CAP, max_rounds: int 
         pairs = ray.data.from_arrow(pairs)
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+    pairs = pairs.materialize()  # count + gather (or reuse per round) — execute once
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
     if n_pairs <= driver_cap:
-        rows = pairs.select_columns(["id_a", "id_b"]).take_all()
-        a = np.array([int(r["id_a"]) for r in rows], dtype=np.int64)
-        b = np.array([int(r["id_b"]) for r in rows], dtype=np.int64)
+        t = gather_table(pairs.select_columns(["id_a", "id_b"]))
+        a = col_i64(t, "id_a")
+        b = col_i64(t, "id_b")
         nodes, comp = _components_driver(a, b)
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array(nodes), "component": pa.array(comp)})
@@ -1482,16 +1484,16 @@ def dup_spans(ds, col: str = "text", id_col: str = "doc_id", *, width: int = 8):
         # partials are output-bounded → one vectorized driver fold
         # replaces the second all-to-all (the ~1.5-3 s/groupby Ray
         # floor); above the cap the distributed Sum groupby still runs
-        rows = out.take_all()
-        if not rows:
+        t = gather_table(out)  # Arrow blocks, no per-row dicts
+        if t is None:
             return ray.data.from_arrow(
                 pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_spans": pa.array([], pa.int64()),
                           "n_dup_spans": pa.array([], pa.int64())})
             )
-        d = np.fromiter((r["doc_id"] for r in rows), np.int64, len(rows))
-        sp = np.fromiter((r["sp"] for r in rows), np.int64, len(rows))
-        dp = np.fromiter((r["dp"] for r in rows), np.int64, len(rows))
+        d = col_i64(t, "doc_id")
+        sp = col_i64(t, "sp")
+        dp = col_i64(t, "dp")
         docs, inv = np.unique(d, return_inverse=True)
         return ray.data.from_arrow(
             pa.table(

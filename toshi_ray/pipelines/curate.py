@@ -33,6 +33,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from toshi_ray.ops._gather import col_i64, gather_table
+
 
 def annotate_quality_lang(ds, *, col: str = "text",
                           min_quality: float | None = None):
@@ -219,17 +221,15 @@ def curate_corpus(
         pairs = minhash_lsh_pairs(
             exact, col, id_col, threshold=dedup_threshold, **mh_kw
         )
-        comp = dup_components(pairs)
-        losers = np.array(
-            sorted(
-                # dup_components always emits (doc_id, component),
-                # whatever the caller's id_col is
-                int(r["doc_id"])
-                for r in comp.take_all()
-                if int(r["doc_id"]) != int(r["component"])
-            ),
-            dtype=np.int64,
-        )  # bounded by near-duplicate docs; each cluster keeps its min id
+        comp_t = gather_table(dup_components(pairs))
+        if comp_t is None:
+            losers = np.array([], dtype=np.int64)
+        else:
+            # dup_components always emits (doc_id, component), whatever
+            # the caller's id_col is; each cluster keeps its min id
+            did = col_i64(comp_t, "doc_id")
+            losers = np.sort(did[did != col_i64(comp_t, "component")])
+        # bounded by near-duplicate docs
         ref = ray.put(losers)
 
         def drop_losers(t: pa.Table) -> pa.Table:

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from toshi_ray.ops._gather import col_i64, gather_table
+
 
 def tumbling_window_agg(
     ds,
@@ -301,23 +303,32 @@ def retention_cohorts(
             }
         )
 
-    rows = (
+    t = gather_table(
         ds.select_columns([key_col, ts_col])
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold, batch_format="pyarrow")
-        .take_all()
     )
-    acc: dict[tuple[int, int], int] = {}
-    for r in rows:
-        key = (int(r["cohort_day"]), int(r["day_offset"]))
-        acc[key] = acc.get(key, 0) + int(r["n_active"])
-    keys = sorted(acc)
+    if t is None:
+        return pa.table(
+            {"cohort_day": pa.array([], pa.int64()),
+             "day_offset": pa.array([], pa.int64()),
+             "n_active": pa.array([], pa.int64())}
+        )
+    cd = col_i64(t, "cohort_day")
+    do = col_i64(t, "day_offset")
+    na = col_i64(t, "n_active")
+    # pack (cohort, offset) so one np.unique both dedupes and yields the
+    # (cohort, offset)-lexicographic output order; offsets are < stride
+    stride = int(do.max()) + 1
+    uniq, inv = np.unique(cd * stride + do, return_inverse=True)
+    acc = np.zeros(uniq.size, np.int64)
+    np.add.at(acc, inv, na)
     return pa.table(
         {
-            "cohort_day": pa.array([k[0] for k in keys], pa.int64()),
-            "day_offset": pa.array([k[1] for k in keys], pa.int64()),
-            "n_active": pa.array([acc[k] for k in keys], pa.int64()),
+            "cohort_day": pa.array(uniq // stride),
+            "day_offset": pa.array(uniq % stride),
+            "n_active": pa.array(acc),
         }
     )
 
@@ -345,23 +356,31 @@ def top_key_per_window(
         lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows))),
         batch_format="pyarrow",
     )
-    rows = tumbling_window_agg(
+    t = gather_table(tumbling_window_agg(
         base, ts_col=ts_col, key_col=key_col, value_col="_one",
         window_secs=window_secs,
-    ).take_all()
-    best: dict[int, tuple[int, str]] = {}
-    for r in rows:
-        w = int(r["window_start_s"])
-        cand = (int(r["n"]), str(r[key_col]))
-        cur = best.get(w)
-        if cur is None or cand[0] > cur[0] or (cand[0] == cur[0] and cand[1] < cur[1]):
-            best[w] = cand
-    ws = sorted(best)
+    ))
+    if t is None:
+        return pa.table(
+            {"window_start_s": pa.array([], pa.int64()),
+             key_col: pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    w = col_i64(t, "window_start_s")
+    n = col_i64(t, "n")
+    keys = np.asarray(t[key_col].to_pylist(), dtype="U")
+    # one lexsort replaces the per-row argmax loop: primary window asc,
+    # then count desc, then key asc (numpy "U" compare = codepoint order
+    # = Python str order) — the first row per window is its winner
+    order = np.lexsort((keys, -n, w))
+    w_s, k_s, n_s = w[order], keys[order], n[order]
+    lead = np.ones(w_s.size, bool)
+    lead[1:] = w_s[1:] != w_s[:-1]
     return pa.table(
         {
-            "window_start_s": pa.array(ws, pa.int64()),
-            key_col: pa.array([best[w][1] for w in ws], pa.string()),
-            "n": pa.array([best[w][0] for w in ws], pa.int64()),
+            "window_start_s": pa.array(w_s[lead]),
+            key_col: pa.array(k_s[lead], pa.string()),
+            "n": pa.array(n_s[lead]),
         }
     )
 

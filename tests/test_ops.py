@@ -606,6 +606,15 @@ def test_image_dims_header_parsers():
     assert image_dims(pnm) == ("pnm", 4, 3)
 
     assert image_dims(b"\xff\xd8\x00garbage") is None  # corrupt JPEG
+    # SOS (start-of-scan) with no SOF before it: the header section has
+    # no geometry — the scan must stop, not walk entropy-coded data
+    # where stuffed FF bytes could mimic an SOF with garbage dims
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes(6)
+    fake_sof_in_scan = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                        + struct.pack(">HH", 9999, 9999) + b"\x03" + bytes(9))
+    assert image_dims(b"\xff\xd8" + app0 + sos + fake_sof_in_scan) is None
+    # EOI before any SOF likewise terminates
+    assert image_dims(b"\xff\xd8" + app0 + b"\xff\xd9") is None
     assert image_dims(b"not an image") is None
     # hostile/corrupt headers with dims outside (0, 2^31) are rejected,
     # never wrapped into negative int32 geometry downstream

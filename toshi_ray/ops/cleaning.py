@@ -196,13 +196,19 @@ def pack_sequences(
     int64-exact (< 2^43), order-sensitive within the sequence yet
     ADDITIVE across partitions, so partials combine with a plain sum.
 
-    Scale shape: global token offsets come from a per-doc count pass
-    whose cumulative sums are broadcast once (`ray.put`) — the same
-    deterministic global-indexing trick the index build uses for doc-id
-    assignment; at 10^9+ docs the gather becomes shard-level subtotal
-    prefix sums, the per-batch math is unchanged. Pass 2 is map-only +
-    ONE groupby(seq) of pre-combined partials (≤ one row per (batch,
-    seq) — never per token).
+    Scale shape: pass 1 emits ONE subtotal row per input BLOCK
+    (doc-id range, token count, sortedness flag); the driver prefix-sums
+    the O(blocks) subtotals and broadcasts two O(blocks) arrays — never
+    anything per-doc.  Pass 2 runs block-aligned (``batch_size=None``
+    over the same materialized blocks), so a batch's global token base
+    comes from one searchsorted on its first doc id and in-batch
+    positions are a plain arange.  When the input is NOT globally
+    doc_id-sorted (block ranges overlap or a block is internally
+    unsorted) the op falls back to the exact per-doc offset scheme —
+    gathered as Arrow blocks via ``gather_table``, O(docs) broadcast,
+    correct for arbitrary layouts but flagged for corpus scale.  Pass 2
+    is map-only + ONE groupby(seq) of pre-combined partials (≤ one row
+    per (batch, seq) — never per token).
     """
     import ray
     from ray.data.aggregate import Max, Min, Sum
@@ -210,39 +216,76 @@ def pack_sequences(
     from toshi_ray.ops.dedup import _poly_hash31
     from toshi_ray.ops.textstats import _tokenize
 
-    ds = ds.select_columns([id_col, col])
+    # materialize pins block boundaries so pass 1 and pass 2 see the
+    # same blocks (two-pass algorithms need either a checkpoint or
+    # deterministic lineage; at cluster scale the object store spills
+    # the projected two columns to local disk)
+    ds = ds.select_columns([id_col, col]).materialize()
 
-    def counts(t: pa.Table) -> pa.Table:
+    def block_counts(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("did_min", pa.int64()), ("did_max", pa.int64()),
+                            ("n_tok", pa.int64()), ("is_sorted", pa.bool_())])
+        if t.num_rows == 0:
+            return schema.empty_table()
         tc = _tokenize(t, col)
-        n = np.bincount(tc.doc_index, minlength=t.num_rows).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = bool(np.all(ids[1:] > ids[:-1])) if ids.size > 1 else True
         return pa.table(
-            {"doc_id": t[id_col].combine_chunks().cast(pa.int64()), "n": pa.array(n)}
+            {"did_min": pa.array([int(ids.min())]),
+             "did_max": pa.array([int(ids.max())]),
+             "n_tok": pa.array([int(tc.doc_index.size)]),
+             "is_sorted": pa.array([srt])}
         )
 
-    rows = ds.map_batches(counts, batch_format="pyarrow").take_all()
-    doc_ids = np.array([int(r["doc_id"]) for r in rows], np.int64)
-    n_tok = np.array([int(r["n"]) for r in rows], np.int64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, n_tok = doc_ids[order], n_tok[order]
-    starts = np.zeros(doc_ids.size, np.int64)
-    np.cumsum(n_tok[:-1], out=starts[1:])
-    ref = ray.put((doc_ids, starts))
+    bt = gather_table(
+        ds.map_batches(block_counts, batch_size=None, batch_format="pyarrow")
+    )
+    if bt is None:
+        return ray.data.from_arrow(
+            pa.table({"seq_idx": pa.array([], pa.int64()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "first_doc": pa.array([], pa.int64()),
+                      "last_doc": pa.array([], pa.int64()),
+                      "chk": pa.array([], pa.int64())})
+        )
+    bmin = col_i64(bt, "did_min")
+    bmax = col_i64(bt, "did_max")
+    bn = col_i64(bt, "n_tok")
+    order = np.argsort(bmin, kind="stable")
+    bmin, bmax, bn = bmin[order], bmax[order], bn[order]
+    globally_sorted = bool(
+        bt["is_sorted"].to_numpy(zero_copy_only=False).all()
+    ) and bool(np.all(bmax[:-1] < bmin[1:]))
 
-    def partial(t: pa.Table) -> pa.Table:
-        dids, dstarts = ray.get(ref)
-        tc = _tokenize(t, col)
-        nd = t.num_rows
-        cnt = np.bincount(tc.doc_index, minlength=nd).astype(np.int64)
-        offs = np.zeros(nd, np.int64)
-        np.cumsum(cnt[:-1], out=offs[1:])
-        pos_in_doc = np.arange(tc.doc_index.size, dtype=np.int64) - offs[tc.doc_index]
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        gstart = dstarts[np.searchsorted(dids, ids)]
-        gpos = gstart[tc.doc_index] + pos_in_doc
+    if globally_sorted:
+        # O(blocks) broadcast: token start of each block
+        bstart = np.zeros(bmin.size, np.int64)
+        np.cumsum(bn[:-1], out=bstart[1:])
+        ref = ray.put((bmin, bstart))
+    else:
+        # exact fallback for unsorted layouts: per-doc offsets (Arrow
+        # block gather — no per-row dicts — but O(docs) broadcast)
+        def counts(t: pa.Table) -> pa.Table:
+            tc = _tokenize(t, col)
+            n = np.bincount(tc.doc_index, minlength=t.num_rows).astype(np.int64)
+            return pa.table(
+                {"doc_id": t[id_col].combine_chunks().cast(pa.int64()),
+                 "n": pa.array(n)}
+            )
+
+        ct = gather_table(ds.map_batches(counts, batch_format="pyarrow"))
+        doc_ids = col_i64(ct, "doc_id")
+        n_tok = col_i64(ct, "n")
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, n_tok = doc_ids[order], n_tok[order]
+        starts = np.zeros(doc_ids.size, np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        ref = ray.put((doc_ids, starts))
+
+    def _seq_partial(gpos: np.ndarray, tok_doc: np.ndarray,
+                     h: np.ndarray) -> pa.Table:
         seq = gpos // seq_len
         p = gpos % seq_len
-        h = _poly_hash31(tc.terms)
-        tok_doc = ids[tc.doc_index]
         # pre-combine per (seq): one output row per seq touched by batch
         uniq, inv = np.unique(seq, return_inverse=True)
         n_part = np.bincount(inv, minlength=uniq.size).astype(np.int64)
@@ -262,7 +305,48 @@ def pack_sequences(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    def partial_block(t: pa.Table) -> pa.Table:
+        # batch == whole block(s): every doc's global token start is its
+        # block's broadcast token base + the doc's offset within the
+        # block's contiguous run inside this batch (correct even when a
+        # task coalesces multiple, possibly non-adjacent, whole blocks)
+        bmin_b, bstart_b = ray.get(ref)
+        tc = _tokenize(t, col)
+        nd = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(tc.doc_index, minlength=nd).astype(np.int64)
+        doc_off = np.zeros(nd, np.int64)
+        np.cumsum(cnt[:-1], out=doc_off[1:])
+        blk = np.searchsorted(bmin_b, ids, side="right") - 1
+        newblk = np.r_[True, blk[1:] != blk[:-1]]
+        run_id = np.cumsum(newblk) - 1
+        run_first = doc_off[np.flatnonzero(newblk)][run_id]
+        gstart = bstart_b[blk] + (doc_off - run_first)
+        pos_in_doc = (
+            np.arange(tc.doc_index.size, dtype=np.int64) - doc_off[tc.doc_index]
+        )
+        gpos = gstart[tc.doc_index] + pos_in_doc
+        return _seq_partial(gpos, ids[tc.doc_index], _poly_hash31(tc.terms))
+
+    def partial_doc(t: pa.Table) -> pa.Table:
+        dids, dstarts = ray.get(ref)
+        tc = _tokenize(t, col)
+        nd = t.num_rows
+        cnt = np.bincount(tc.doc_index, minlength=nd).astype(np.int64)
+        offs = np.zeros(nd, np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        pos_in_doc = np.arange(tc.doc_index.size, dtype=np.int64) - offs[tc.doc_index]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        gstart = dstarts[np.searchsorted(dids, ids)]
+        gpos = gstart[tc.doc_index] + pos_in_doc
+        return _seq_partial(gpos, ids[tc.doc_index], _poly_hash31(tc.terms))
+
+    if globally_sorted:
+        parts = ds.map_batches(
+            partial_block, batch_size=None, batch_format="pyarrow"
+        ).materialize()
+    else:
+        parts = ds.map_batches(partial_doc, batch_format="pyarrow").materialize()
     from toshi_ray.ops.dedup import PAIR_DRIVER_CAP
 
     if parts.count() <= PAIR_DRIVER_CAP:

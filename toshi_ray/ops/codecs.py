@@ -82,6 +82,12 @@ def image_dims(payload: bytes) -> tuple[str, int, int] | None:
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return _ok("jpeg", w, h)
+            if marker in (0xDA, 0xD9):
+                # SOS/EOI before any SOF: the header section ended with
+                # no parseable geometry — stop rather than walk
+                # entropy-coded data (stuffed FF 00 bytes would be
+                # misread as segments with garbage lengths)
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

@@ -330,27 +330,52 @@ def collocations(ds, *, k: int = 30, min_count: int = 5, col: str = "text"):
         return _ngram_partial(t, col, 1)
 
     def uni_sum(t: pa.Table) -> pa.Table:
+        # a bigram with cnt >= min_count implies BOTH its halves have
+        # unigram cnt >= min_count (each bigram occurrence contains one
+        # of each half), so flooring the broadcast table at the same
+        # min_count is LOSSLESS for PMI lookups — the junk-hapax bulk of
+        # a web vocabulary never reaches the driver. The dropped mass is
+        # re-added via an empty-string marker row so total N stays exact.
         if t.num_rows == 0:
             return pa.table({"gram": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         gc, gvoc = _codes(t["gram"])
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
-        return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
+        keep = tot >= min_count
+        dropped = int(tot[~keep].sum())
+        out_g = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
+        if isinstance(out_g, pa.ChunkedArray):
+            out_g = out_g.combine_chunks()
+        out_c = tot[keep]
+        if dropped:
+            out_g = pa.concat_arrays([out_g, pa.array([""], pa.string())])
+            out_c = np.r_[out_c, dropped]
+        return pa.table({"gram": out_g, "cnt": pa.array(out_c)})
 
-    uni_rows = (
+    from toshi_ray.ops._gather import col_i64, gather_table
+
+    uni_t = gather_table(
         ds.select_columns([col])
         .map_batches(uni_partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(lambda t: uni_sum(t.drop_columns(["part"])),
                     batch_format="pyarrow")
-        .take_all()
     )
-    words = np.array([r["gram"] for r in uni_rows])
-    wcnt = np.array([int(r["cnt"]) for r in uni_rows], dtype=np.int64)
-    order = np.argsort(words)
-    words, wcnt = words[order], wcnt[order]
-    total = int(wcnt.sum())
+    if uni_t is None:
+        words = np.array([], dtype=str)
+        wcnt = np.array([], np.int64)
+        total = 0
+    else:
+        words = np.asarray(uni_t["gram"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        wcnt = col_i64(uni_t, "cnt")
+        total = int(wcnt.sum())  # includes dropped-mass rows: exact N
+        real = words != ""
+        words = words[real].astype(str)
+        wcnt = wcnt[real]
+        order = np.argsort(words)
+        words, wcnt = words[order], wcnt[order]
     ref = ray.put((words, wcnt))
 
     out_schema = pa.schema(

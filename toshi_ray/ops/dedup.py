@@ -108,7 +108,7 @@ N_PAIR_PARTS = 64  # coarse shuffle partitions for bucket-pair generation
 
 
 def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str | None,
-                        dtype=None, dedupe_stage: bool = True):
+                        dtype=None, dedupe_stage: bool = True, pair2_fn=None):
     """groupby a COARSE partition of the bucket hash (64 groups, not one
     Ray group per LSH bucket — per-group Python overhead would dominate
     at millions of buckets), run the per-bucket pair generator inside,
@@ -119,8 +119,12 @@ def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str |
     The partition arrives as zero-copy Arrow; singleton buckets (the
     overwhelming majority — a bucket can only emit pairs with >= 2
     rows) are dropped by one vectorized numpy segmentation BEFORE any
-    pandas conversion or per-bucket Python call, so pair_fn runs only
-    over the few genuinely colliding buckets."""
+    pandas conversion or per-bucket Python call. When the caller
+    supplies ``pair2_fn`` (a vectorized twin of ``pair_fn`` for the
+    common 2-row-bucket case), ALL 2-row buckets are handed to it as
+    ONE Arrow table whose consecutive row pairs (2i, 2i+1) are each a
+    bucket — no pandas conversion, no per-bucket Python call; the
+    ``pair_fn`` loop then runs only over >=3-row buckets."""
 
     def gen(t: pa.Table) -> pa.Table:
         empty = pa.Table.from_pandas(_empty_pairs(metric, dtype), preserve_index=False)
@@ -134,18 +138,30 @@ def _pairs_by_partition(exploded, bucket_cols: list[str], pair_fn, metric: str |
             cs = c[order]
             new[1:] |= cs[1:] != cs[:-1]
         run_id = np.cumsum(new) - 1
-        multi = (np.bincount(run_id) >= 2)[run_id]
-        sel = order[multi]
-        if sel.size == 0:
+        sz = np.bincount(run_id)[run_id]  # bucket size per sorted row
+        tbls = []
+        if pair2_fn is not None:
+            two = order[sz == 2]
+            if two.size:
+                t2 = pair2_fn(t.take(pa.array(two)))
+                if t2.num_rows:
+                    tbls.append(t2.cast(empty.schema))
+            sel = order[sz >= 3]
+        else:
+            sel = order[sz >= 2]
+        if sel.size:
+            g = t.take(pa.array(sel)).to_pandas()
+            outs = [pair_fn(sub) for _, sub in g.groupby(bucket_cols, sort=False)]
+            outs = [o for o in outs if len(o)]
+            if outs:
+                tbls.append(
+                    pa.Table.from_pandas(
+                        pd.concat(outs, ignore_index=True), preserve_index=False
+                    ).cast(empty.schema)
+                )
+        if not tbls:
             return empty
-        g = t.take(pa.array(sel)).to_pandas()
-        outs = [pair_fn(sub) for _, sub in g.groupby(bucket_cols, sort=False)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return empty
-        return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True), preserve_index=False
-        ).cast(empty.schema)
+        return pa.concat_tables(tbls)
 
     pairs = exploded.groupby("part").map_groups(gen, batch_format="pyarrow")
     if not dedupe_stage:
@@ -667,9 +683,18 @@ def minhash_lsh_pairs(
         ia, ib = _pair_index(len(g), bucket_cap)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
+    def bucket_pairs2(t: pa.Table) -> pa.Table:
+        # vectorized twin for 2-row buckets: rows (2i, 2i+1) are one
+        # bucket; id order normalized elementwise
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b = ids[0::2], ids[1::2]
+        return pa.table({"id_a": pa.array(np.minimum(a, b)),
+                         "id_b": pa.array(np.maximum(a, b))})
+
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     cand = _pairs_by_partition(
-        exploded, ["band", "bh"], bucket_pairs, None, dedupe_stage=False
+        exploded, ["band", "bh"], bucket_pairs, None, dedupe_stage=False,
+        pair2_fn=bucket_pairs2,
     ).materialize()
 
     import ray
@@ -845,8 +870,23 @@ def simhash_near_dup_pairs(
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
 
+    def bucket_pairs2(t: pa.Table) -> pa.Table:
+        # vectorized twin for 2-row buckets (hamming is symmetric)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = sh[0::2] ^ sh[1::2]
+        ham = np.zeros(x.size, np.int64)
+        for i in range(64):
+            ham += ((x >> _U(i)) & _U(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        a, b = ids[0::2][keep], ids[1::2][keep]
+        return pa.table({"id_a": pa.array(np.minimum(a, b)),
+                         "id_b": pa.array(np.maximum(a, b)),
+                         "hamming": pa.array(ham[keep])})
+
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    return _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs, "hamming", "int64")
+    return _pairs_by_partition(exploded, ["band", "bh"], bucket_pairs,
+                               "hamming", "int64", pair2_fn=bucket_pairs2)
 
 
 # ---------------------------------------------------------------------------
@@ -1149,8 +1189,20 @@ def embedding_near_dup_pairs(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[keep]}
         )
 
+    def bucket_pairs2(t: pa.Table) -> pa.Table:
+        # vectorized twin for 2-row buckets (cosine is symmetric)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.stack(t["vec"].to_numpy(zero_copy_only=False))
+        sim = np.einsum("ij,ij->i", v[0::2], v[1::2])
+        keep = sim >= threshold
+        a, b = ids[0::2][keep], ids[1::2][keep]
+        return pa.table({"id_a": pa.array(np.minimum(a, b)),
+                         "id_b": pa.array(np.maximum(a, b)),
+                         "cosine": pa.array(sim[keep])})
+
     exploded = ds.map_batches(bucketize, batch_format="pyarrow")
-    return _pairs_by_partition(exploded, ["bucket"], bucket_pairs, "cosine", float)
+    return _pairs_by_partition(exploded, ["bucket"], bucket_pairs, "cosine",
+                               float, pair2_fn=bucket_pairs2)
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from toshi_ray.analyzer import DefaultAnalyzer
+from toshi_ray.ops._gather import col_i64, gather_table
 
 # fixed stopword sets — mirrored verbatim in the SQL oracles
 STOPWORDS = {
@@ -310,7 +311,7 @@ def repetition_stats(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id",
-                   only_ids: set[int] | None = None):
+                   only_ids: set[int] | None = None, min_df: int = 1):
     """→ (doc_id, rank, term, score_x1e6): per-doc top-k TF-IDF
     keywords, ``score = tf * ln((N+1)/(df+1))``, ties broken by term
     bytes. The classic two-pass shape for corpus-weighted per-doc
@@ -324,9 +325,14 @@ def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id",
        vocabularies are O(10^7-10^8) terms ≈ a few GB — object-store
        resident, far below corpus size.
 
-    Both passes stream; only the vocab-sized df table materializes.
-    The score doubles are the same IEEE expression the SQL twin
-    evaluates, so the integer-scaled output is hash-exact.
+    Both passes stream; only the vocab-sized df table materializes —
+    gathered as Arrow blocks (``gather_table``), never per-row dicts.
+    ``min_df`` floors the broadcast vocabulary inside the df-fold tasks
+    (web vocabularies are mostly junk hapaxes; a floor of even 2 drops
+    the bulk before it reaches the driver); floored terms are excluded
+    from keyword candidates. The default ``min_df=1`` keeps every term
+    and is hash-exact vs the SQL twin — score doubles are the same IEEE
+    expression the SQL evaluates.
     """
     import ray
 
@@ -347,17 +353,24 @@ def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id",
              "df_p": pa.array(cnt[nz].astype(np.int64))}
         )
 
-    df_rows = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df_p")
-        .take_all()
-    )
+    df_ds = ds.map_batches(df_partial, batch_format="pyarrow").groupby("term").sum("df_p")
+    if min_df > 1:
+        # floor inside the fold tasks — junk terms never reach the driver
+        df_ds = df_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(df_p)"], min_df)),
+            batch_format="pyarrow",
+        )
+    dft = gather_table(df_ds)  # vocab-sized Arrow blocks, no per-row dicts
     n_total = ds.count()
-    terms_sorted = np.array(sorted(r["term"] for r in df_rows), dtype=object)
-    df_map = {r["term"]: int(r["sum(df_p)"]) for r in df_rows}
-    dfs = np.array([df_map[t] for t in terms_sorted], dtype=np.int64)
-    idf = np.log((n_total + 1.0) / (dfs + 1.0))
+    if dft is None:
+        terms_sorted = np.array([], dtype=object)
+        idf = np.array([], np.float64)
+    else:
+        terms = np.asarray(dft["term"].to_numpy(zero_copy_only=False), dtype=object)
+        dfs = col_i64(dft, "sum(df_p)")
+        order = np.argsort(terms)
+        terms_sorted = terms[order]
+        idf = np.log((n_total + 1.0) / (dfs[order] + 1.0))
     ref = ray.put((terms_sorted, idf))  # broadcast once, read per task
 
     def score(t: pa.Table) -> pa.Table:
@@ -386,10 +399,20 @@ def tfidf_keywords(ds, k: int = 3, col: str = "text", id_col: str = "doc_id",
             tf = np.diff(np.r_[starts, ks.size]).astype(np.int64)
             rdoc = (ks[starts] // v).astype(np.int64)
             rcode = (ks[starts] % v).astype(np.int64)
-            # global idf lookup (terms all come from the corpus, so
-            # every batch term exists in the broadcast vocab)
+            # global idf lookup; with a min_df floor some batch terms
+            # are absent from the broadcast vocab — they are excluded
+            # from candidates (at min_df=1 every term is present)
             vwords = np.asarray(vocab.to_pylist(), dtype=object)
             pos = np.searchsorted(vocab_sorted, vwords)
+            if vocab_sorted.size:
+                safe = np.minimum(pos, vocab_sorted.size - 1)
+                known = vocab_sorted[safe] == vwords
+                pos = safe
+            else:
+                known = np.zeros(len(vwords), dtype=bool)
+                pos = np.zeros(len(vwords), np.int64)
+            kept = known[rcode]
+            rdoc, rcode, tf = rdoc[kept], rcode[kept], tf[kept]
             sc = tf * idf_b[pos[rcode]]
             # rank terms bytewise for the tie-break
             srt = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
@@ -541,7 +564,8 @@ def winnow(ds, col: str = "text", id_col: str = "doc_id", *,
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id"):
+def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id",
+                 min_count: int = 1):
     """→ Dataset of (doc_id, n_tok, surprisal_x1e3, mean_x1e3): unigram
     language-model surprisal per doc — the CCNet-style "perplexity
     bucket" quality signal, with the corpus itself as the LM.
@@ -552,8 +576,14 @@ def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id"):
     division by the token count.
 
     Scale shape: pass 1 is the standard unigram wordcount (map-side
-    combine, 64-way partitioned sum) gathered once and broadcast via
-    ray.put (Zipf-bounded vocabulary); pass 2 is map-only scoring."""
+    combine, 64-way partitioned sum) gathered once as Arrow blocks
+    (``gather_table``, no per-row dicts) and broadcast via ray.put
+    (Zipf-bounded vocabulary); pass 2 is map-only scoring.
+    ``min_count`` floors the broadcast table INSIDE the fold tasks —
+    floored (rare) tokens score with c_t = 1 while the corpus total N
+    stays exact via a per-partition dropped-mass row (the empty-string
+    gram, which no real token can be). The default ``min_count=1`` is
+    hash-exact vs the SQL twin."""
     import ray
     import ray.data  # noqa: F401
 
@@ -566,21 +596,40 @@ def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id"):
         gc, gvoc = _codes(t["gram"])
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+        if min_count > 1:
+            keep = tot >= min_count
+            dropped = int(tot[~keep].sum())
+            out_g = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
+            out_c = tot[keep]
+            if dropped:
+                out_g = pa.concat_arrays([out_g.combine_chunks()
+                                          if isinstance(out_g, pa.ChunkedArray)
+                                          else out_g, pa.array([""], pa.string())])
+                out_c = np.r_[out_c, dropped]
+            return pa.table({"gram": out_g, "cnt": pa.array(out_c)})
         return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
 
-    uni_rows = (
+    uni_t = gather_table(
         ds.select_columns([col])
         .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
         .groupby("part")
         .map_groups(lambda t: uni_sum(t.drop_columns(["part"])),
                     batch_format="pyarrow")
-        .take_all()
     )
-    words = np.array([r["gram"] for r in uni_rows])
-    wcnt = np.array([int(r["cnt"]) for r in uni_rows], dtype=np.int64)
-    order = np.argsort(words)
-    words, wcnt = words[order], wcnt[order]
-    total = float(wcnt.sum())
+    if uni_t is None:
+        words = np.array([], dtype=object)
+        wcnt = np.array([], np.int64)
+        total = 0.0
+    else:
+        words = np.asarray(uni_t["gram"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        wcnt = col_i64(uni_t, "cnt")
+        total = float(wcnt.sum())  # includes dropped-mass rows: exact N
+        real = words != ""  # strip the dropped-mass marker rows
+        words = words[real].astype(str)  # <U dtype: C-level searchsorted
+        wcnt = wcnt[real]
+        order = np.argsort(words)
+        words, wcnt = words[order], wcnt[order]
     ref = ray.put((words, wcnt))
 
     out_schema = pa.schema(
@@ -597,8 +646,13 @@ def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id"):
         if tc.doc_index.size == 0:
             return out_schema.empty_table()
         w, c = ray.get(ref)
-        toks = tc.terms.to_numpy(zero_copy_only=False)
-        ct = c[np.searchsorted(w, toks)]
+        toks = tc.terms.to_numpy(zero_copy_only=False).astype(str)
+        if w.size:
+            pos = np.minimum(np.searchsorted(w, toks), w.size - 1)
+            # floored-out (rare) tokens score at max surprisal: c_t = 1
+            ct = np.where(w[pos] == toks, c[pos], 1)
+        else:
+            ct = np.ones(toks.size, np.int64)
         # integer per-token surprisal: same IEEE division + ln on both
         # engines, floored BEFORE the (then order-free) sum
         s_tok = np.floor(np.log(total / ct.astype(np.float64)) * 1000.0).astype(np.int64)

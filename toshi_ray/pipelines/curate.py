@@ -141,7 +141,10 @@ def _checkpoint(ds, output: str | None, name: str):
     path = os.path.join(output, name)
     shutil.rmtree(path, ignore_errors=True)  # partial files from a crash
     ds.write_parquet(path)
-    if not os.path.isdir(path):
+    has_parquet = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if not has_parquet:
         # A zero-row stage writes no files; persist an empty file with
         # the stage schema so resume (and downstream reads) still work.
         # The schema fetch partially re-executes the stage — acceptable

@@ -490,17 +490,29 @@ def merge_segments(
     ds = ray.data.read_parquet(post_paths)
 
     # ---- hot-term detection: map-side, no shuffle ----
-    hot_tbl = ds.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["df"], hot_df_threshold)).select(
-            ["field", "term"]
-        ),
-        batch_format="pyarrow",
-    ).take_all()
+    from toshi_ray.ops._gather import gather_table
+
+    hot_tbl = gather_table(
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater(t["df"], hot_df_threshold)
+            ).select(["field", "term"]),
+            batch_format="pyarrow",
+        )
+    )
     # hot set as a joined field\x00term key array → vectorized is_in in
     # the tag stage (tokens can't contain \x00; fields are identifiers)
-    hot_keys = pa.array(
-        sorted({f"{r['field']}\x00{r['term']}" for r in hot_tbl}), type=pa.string()
-    )
+    if hot_tbl is None:
+        hot_keys = pa.array([], type=pa.string())
+    else:
+        joined = pa.compute.binary_join_element_wise(
+            hot_tbl["field"].combine_chunks().cast(pa.string()),
+            hot_tbl["term"].combine_chunks().cast(pa.string()),
+            "\x00",
+        )
+        hot_keys = pa.array(
+            np.unique(joined.to_numpy(zero_copy_only=False)), type=pa.string()
+        )
 
     # coarse shuffle partitions; each merges vectorized. 64 suits one
     # node; size ~2-4x the cluster's cores for a big merge so one

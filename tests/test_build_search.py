@@ -607,6 +607,43 @@ def test_log_merge_level_band_semantics():
     assert log_merge_candidates([close[0]] + far) == []
 
 
+def test_copy_only_storage_backend(ray_session):
+    """Build → merge → search with the object-store-shaped backend
+    (no hard links, copies only — toshi_ray.storage.CopyOnlyStorage):
+    results must be identical to the hard-link default. Pins the
+    storage shim every publish/link site routes through."""
+    import os
+
+    from toshi_ray.storage import CopyOnlyStorage, LocalFileStorage, set_storage
+
+    prev = set_storage(CopyOnlyStorage())
+    try:
+        root = tempfile.mkdtemp(prefix="toshi_copyonly_")
+        build_index(pages_dataset(600, parallelism=2), page_schema(), root,
+                    docs_per_segment=100)
+        merge_segments(root, hot_df_threshold=300, shard_span=400)
+        s = Searcher(root, distributed=False)
+        res_copy = {t: engine_topk(s, {"term": {"text": t}}) for t in QUERY_TERMS}
+    finally:
+        set_storage(prev)
+
+    root2 = tempfile.mkdtemp(prefix="toshi_hardlink_")
+    assert isinstance(prev, LocalFileStorage)
+    build_index(pages_dataset(600, parallelism=2), page_schema(), root2,
+                docs_per_segment=100)
+    merge_segments(root2, hot_df_threshold=300, shard_span=400)
+    s2 = Searcher(root2, distributed=False)
+    for t, want in res_copy.items():
+        assert engine_topk(s2, {"term": {"text": t}}) == want, t
+    # the copy-only run produced real (non-hard-linked) side files
+    merged = [n for n in os.listdir(os.path.join(root, "segments"))
+              if n.startswith("seg-merged")]
+    assert merged, "merge must have published a segment"
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "segments", merged[0])):
+        for f in files:
+            assert os.stat(os.path.join(dirpath, f)).st_nlink == 1, (dirpath, f)
+
+
 def test_merge_resumes_from_partition_checkpoints(ray_session):
     """A merge rerun after a simulated crash (manifest rolled back,
     final segment dir lost) must reuse every finished partition

@@ -78,10 +78,12 @@ class SegmentBuilder:
 
 
 def _atomic_write(path: str, payload: str) -> None:
+    from toshi_ray.storage import get_storage
+
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(payload)
-    os.replace(tmp, path)
+    get_storage().publish_file(tmp, path)
 
 
 def publish_manifest(index_root: str, segments: list[dict], extra: dict | None = None) -> dict:

@@ -55,6 +55,14 @@ from toshi_ray.pipelines.build import (
 )
 from toshi_ray.segments import DOCVALUES_FILE, META_FILE, POSTINGS_FILE, STORE_FILE
 
+def _storage():
+    """Driver-side storage backend (see toshi_ray.storage): publish /
+    link primitives behind the object-store seam."""
+    from toshi_ray.storage import get_storage
+
+    return get_storage()
+
+
 # reference defaults (config/config.toml:14-17)
 MIN_MERGE_SIZE = 8
 MIN_LAYER_SIZE = 10_000
@@ -555,7 +563,7 @@ def merge_segments(
         with open(src_meta + ".tmp", "w") as f:
             json.dump({"names": sorted(names),
                        "sigs": [_content_sig(n) for n in sorted(names)]}, f)
-        os.rename(src_meta + ".tmp", src_meta)
+        _storage().publish_file(src_meta + ".tmp", src_meta)
 
     def merge_and_write(t: pa.Table) -> pa.Table:
         """One shuffle partition → one idempotent checkpoint file."""
@@ -567,9 +575,11 @@ def merge_segments(
         if os.path.exists(out_path):  # per-partition checkpoint hit
             return pa.table({"part": [part], "resumed": [True]})
         merged = _merge_partition(t)
+        from toshi_ray.storage import get_storage
+
         tmp_path = f"{out_path}.tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(merged, tmp_path)
-        os.rename(tmp_path, out_path)
+        get_storage().publish_file(tmp_path, out_path)
         return pa.table({"part": [part], "resumed": [False]})
 
     part_rows = (
@@ -587,10 +597,9 @@ def merge_segments(
     os.makedirs(os.path.join(tmp, "postings"), exist_ok=True)
     for f in sorted(os.listdir(ckpt)):  # link checkpoints in: no copy
         if f.endswith(".parquet"):
-            try:
-                os.link(os.path.join(ckpt, f), os.path.join(tmp, "postings", f))
-            except OSError:
-                shutil.copyfile(os.path.join(ckpt, f), os.path.join(tmp, "postings", f))
+            _storage().link_or_copy(
+                os.path.join(ckpt, f), os.path.join(tmp, "postings", f)
+            )
 
     # ---- docvalues + store: ORDERED concat of disjoint doc ranges ----
     # source segments cover disjoint doc-id intervals. Without
@@ -612,10 +621,7 @@ def merge_segments(
                 for j, part in enumerate(parts):
                     sp = src if part is None else os.path.join(src, part)
                     dp = os.path.join(dst, f"{i:05d}-{j:04d}.parquet")
-                    try:
-                        os.link(sp, dp)
-                    except OSError:  # cross-device: fall back to copy
-                        shutil.copyfile(sp, dp)
+                    _storage().link_or_copy(sp, dp)
     else:
         ctx = ray.data.DataContext.get_current()
         prev_preserve = ctx.execution_options.preserve_order
@@ -686,13 +692,8 @@ def merge_segments(
     }
     with open(os.path.join(tmp, META_FILE), "w") as f:
         json.dump(meta, f)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        if not os.path.exists(os.path.join(final, META_FILE)):
-            raise  # a real rename failure, not an already-published twin
+    if not _storage().publish_dir(tmp, final, META_FILE):
         # an identical merge (same content key) already published
-        shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(final, META_FILE)) as f:
             meta = json.load(f)
 

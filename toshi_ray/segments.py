@@ -325,13 +325,11 @@ def write_segment(
     pq.write_table(store, os.path.join(tmp, STORE_FILE))
     with open(os.path.join(tmp, META_FILE), "w") as f:
         json.dump(meta, f)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        # concurrent writer won the race with identical content — keep theirs
-        import shutil
+    from toshi_ray.storage import get_storage
 
-        shutil.rmtree(tmp, ignore_errors=True)
+    # losing the publish race to an identical-content twin keeps theirs;
+    # any other failure raises (see toshi_ray.storage)
+    get_storage().publish_dir(tmp, final, META_FILE)
     return meta
 
 

@@ -169,6 +169,9 @@ def bench_minhash() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+BENCH_EXTRAS: dict = {}  # non-timing artifacts attached to the result JSON
+
+
 def bench_ops() -> dict[str, float]:
     import ray.data
 
@@ -230,8 +233,12 @@ def bench_ops() -> dict[str, float]:
     from toshi_ray.pipelines.curate import curate_report
 
     t0 = time.perf_counter()
-    curate_report(docs, min_quality=0.25, seq_len=2048)
+    rep = curate_report(docs, min_quality=0.25, seq_len=2048)
     out["curate_report"] = round(time.perf_counter() - t0, 3)
+    # per-stage attribution so a regression in one stage can't hide
+    # inside the pipeline total (keys: quality, exact_dedup, near_dedup,
+    # mix_corpus, pack)
+    BENCH_EXTRAS["curate_stage_secs"] = rep.get("stage_secs", {})
 
     from toshi_ray.ops.joins import asof_join
 
@@ -422,6 +429,7 @@ def run_once(build_only: bool = False) -> dict:
             # marks a noisy-neighbor window — see BASELINE.md)
             "hw_probe_sorts_per_sec": probes,
         },
+        **BENCH_EXTRAS,
     }
     ray.shutdown()
     return result

@@ -113,6 +113,9 @@ def test_curate_report_resume_skips_completed_stages(
     second = curate_report(
         ray.data.read_parquet(SF), min_quality=0.25, seq_len=256, output=out
     )
+    # stage wall-times legitimately differ between a fresh run and a
+    # checkpoint resume; every data-derived field must be identical
+    second.pop("stage_secs"), first.pop("stage_secs")
     assert second == first
 
 

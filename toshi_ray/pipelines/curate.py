@@ -189,8 +189,12 @@ def curate_corpus(
     from toshi_ray.ops.dedup import dup_components, exact_dedup_drop, minhash_lsh_pairs
     from toshi_ray.ops.sampling import stratified_sample
 
+    import time as _time
+
     report = report if report is not None else {}
+    stage_secs = report.setdefault("stage_secs", {})
     report["n_input"] = ds.count()
+    _t0 = _time.perf_counter()
     _check_params(output, {
         "col": col, "id_col": id_col, "min_quality": min_quality,
         "dedup_threshold": dedup_threshold, "rates_ppm": rates_ppm,
@@ -209,9 +213,13 @@ def curate_corpus(
         output, "stage1-quality",
     )
     report["n_after_quality"] = ann.count()
+    stage_secs["quality"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
     exact = _checkpoint(exact_dedup_drop(ann, col, id_col), output, "stage2-exact")
     report["n_after_exact_dedup"] = exact.count()
+    stage_secs["exact_dedup"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
     stage3 = _resume(output, "stage3-neardup")
     if stage3 is None:
@@ -249,6 +257,8 @@ def curate_corpus(
             output, "stage3-neardup",
         )
     report["n_near_dup_removed"] = report["n_after_exact_dedup"] - stage3.count()
+    stage_secs["near_dedup"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
     survivors = stage3
     if rates_ppm:
@@ -258,6 +268,7 @@ def curate_corpus(
         )
     corpus = _checkpoint(survivors, output, "corpus")
     report["n_corpus"] = corpus.count()
+    stage_secs["mix_corpus"] = round(_time.perf_counter() - _t0, 3)
     if output:
         report["corpus_path"] = os.path.join(output, "corpus")
     return corpus
@@ -290,7 +301,10 @@ def curate_report(
     )
     # seq_len-keyed checkpoint: one curated corpus can be re-packed at
     # several sequence lengths, each resumable independently
+    import time as _time
+
     name = f"packed-{seq_len}"
+    _t0 = _time.perf_counter()
     packed = _resume(output, name)
     if packed is None:  # pack's prefix-sum pass is eager — guard it too
         packed = _checkpoint(
@@ -298,6 +312,9 @@ def curate_report(
             output, name,
         )
     report["n_sequences"] = packed.count()
+    report.setdefault("stage_secs", {})["pack"] = round(
+        _time.perf_counter() - _t0, 3
+    )
     report["seq_len"] = seq_len
     if output:
         report["packed_path"] = os.path.join(output, name)

@@ -607,6 +607,52 @@ def test_log_merge_level_band_semantics():
     assert log_merge_candidates([close[0]] + far) == []
 
 
+def test_fastfield_reads_are_column_pruned(ray_session, monkeypatch):
+    """Range and sort queries must fetch ONLY the fast-field columns
+    they touch from docvalues — never the whole docvalues table, and
+    (for pure range/all-sort queries) no postings payloads at all."""
+    import os
+
+    import toshi_ray.segments as segments
+
+    root = tempfile.mkdtemp(prefix="toshi_prune_")
+    build_index(pages_dataset(400, parallelism=2), page_schema(), root,
+                docs_per_segment=200)
+
+    reads: list[tuple[str, tuple | None]] = []
+    orig = segments.pq.read_table
+
+    def spy(path, *a, columns=None, **kw):
+        reads.append((str(path), tuple(columns) if columns is not None else None))
+        if columns is not None:
+            return orig(path, *a, columns=list(columns), **kw)
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(segments.pq, "read_table", spy)
+    try:
+        s = Searcher(root, distributed=False)
+        ids = s.match_doc_ids({"query": {"range": {"doc_id": {"gte": 5, "lt": 50}}}})
+        assert len(ids) == 45
+        r = s.search({"query": None, "sort_by": "doc_id", "limit": 7})
+        assert [d["doc"]["doc_id"] for d in r["docs"]] == list(range(399, 392, -1))
+    finally:
+        monkeypatch.setattr(segments.pq, "read_table", orig)
+
+    dv_reads = [(p, c) for p, c in reads if "docvalues" in os.path.basename(p)
+                or "docvalues" in p]
+    post_reads = [(p, c) for p, c in reads if "postings" in p]
+    store_reads = [(p, c) for p, c in reads if "store" in p]
+    assert dv_reads, "queries must have read docvalues"
+    for p, c in dv_reads:
+        assert c is not None, f"unprojected docvalues read: {p}"
+        assert set(c) <= {"doc_id"}, f"over-wide docvalues read: {c}"
+    # a pure range / match-all-sort query never opens postings payloads
+    assert post_reads == [], post_reads
+    # doc retrieval for the sort's top-k hits the store — that's the
+    # requested payload, not waste
+    assert store_reads != []
+
+
 def test_copy_only_storage_backend(ray_session):
     """Build → merge → search with the object-store-shaped backend
     (no hard links, copies only — toshi_ray.storage.CopyOnlyStorage):

@@ -328,22 +328,20 @@ class SegmentGroupScorer:
     # ---------------- evaluation ----------------
 
     def _norm_lookup(self, reader: SegmentReader, field: str, doc_ids: np.ndarray) -> np.ndarray:
-        dv = reader.docvalues()
         col = f"norm_{field}"
+        if col not in reader.dv_column_names():
+            return np.zeros(doc_ids.size, dtype=np.uint64)
         all_ids = reader.doc_ids()
         idx = np.searchsorted(all_ids, doc_ids)
-        if col not in dv.column_names:
-            return np.zeros(doc_ids.size, dtype=np.uint64)
-        codes = dv[col].to_numpy(zero_copy_only=False)
+        codes = reader.docvalues([col])[col].to_numpy(zero_copy_only=False)
         return id_to_fieldnorm(codes[idx])
 
     def _fast_values(self, reader: SegmentReader, field: str, doc_ids: np.ndarray) -> np.ndarray:
-        dv = reader.docvalues()
-        if field not in dv.column_names:
+        if field not in reader.dv_column_names():
             raise QueryError.execution(f"Unknown field: {field}")
         all_ids = reader.doc_ids()
         idx = np.searchsorted(all_ids, doc_ids)
-        return dv[field].to_numpy(zero_copy_only=False)[idx]
+        return reader.docvalues([field])[field].to_numpy(zero_copy_only=False)[idx]
 
     def _field_or_raise(self, name: str):
         fdef = self.schema.field(name)
@@ -587,11 +585,10 @@ class SegmentGroupScorer:
                 return doc_ids, self._bm25(reader, node.field, doc_ids, tfs, w, stats)
             # numeric/facet equality — constant score (divergence note: the
             # reference only exercises term queries on text fields)
-            dv = reader.docvalues()
             col = node.field if fdef.is_numeric else f"facet_{node.field}"
-            if col not in dv.column_names:
+            if col not in reader.dv_column_names():
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
-            vals = dv[col]
+            vals = reader.docvalues([col])[col]
             if fdef.is_numeric:
                 try:
                     target = int(node.value)
@@ -709,10 +706,9 @@ class SegmentGroupScorer:
         raise QueryError.execution(f"Unsupported query node: {type(node).__name__}")
 
     def _fast_values_all(self, reader: SegmentReader, field: str) -> np.ndarray:
-        dv = reader.docvalues()
-        if field not in dv.column_names:
+        if field not in reader.dv_column_names():
             raise QueryError.execution(f"Unknown field: {field}")
-        return dv[field].to_numpy(zero_copy_only=False)
+        return reader.docvalues([field])[field].to_numpy(zero_copy_only=False)
 
     def _eval_phrase(self, node: PhraseQuery, reader: SegmentReader, stats: Stats):
         fdef = self._field_or_raise(node.field)
@@ -896,12 +892,13 @@ class SegmentGroupScorer:
         if fdef is None:
             raise QueryError.execution(f"Unknown field: {field}")
         root = roots[0] if roots else "/"
-        dv = reader.docvalues()
         col = f"facet_{field}"
-        if col not in dv.column_names or doc_ids.size == 0:
+        if col not in reader.dv_column_names() or doc_ids.size == 0:
             return
         all_ids = reader.doc_ids()
-        vals = dv[col].to_numpy(zero_copy_only=False)[np.searchsorted(all_ids, doc_ids)]
+        vals = reader.docvalues([col])[col].to_numpy(zero_copy_only=False)[
+            np.searchsorted(all_ids, doc_ids)
+        ]
         prefix = root.rstrip("/") + "/"
         for v in vals:
             if isinstance(v, str) and v.startswith(prefix):

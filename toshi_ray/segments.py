@@ -367,6 +367,8 @@ class SegmentReader:
             cache_postings = self._postings_bytes() <= cache_max_bytes
         self.cache_postings = cache_postings
         self._docvalues: pa.Table | None = None
+        self._dv_partial: pa.Table | None = None  # column-projected cache
+        self._dv_names: list[str] | None = None
         self._postings_all: pa.Table | None = None
         self._term_index: dict | None = None  # field -> (sorted terms np, row idx np)
         self._df_col: np.ndarray | None = None  # set with the term index
@@ -396,13 +398,47 @@ class SegmentReader:
     def num_docs(self) -> int:
         return self.meta["num_docs"]
 
-    def docvalues(self) -> pa.Table:
-        if self._docvalues is None:
-            self._docvalues = pq.read_table(self._path(DOCVALUES_FILE))
-        return self._docvalues
+    def dv_column_names(self) -> list[str]:
+        """Docvalues schema from the parquet FOOTER — no data pages."""
+        if self._dv_names is None:
+            p = self._path(DOCVALUES_FILE)
+            if os.path.isdir(p):
+                p = os.path.join(
+                    p, sorted(f for f in os.listdir(p) if f.endswith(".parquet"))[0]
+                )
+            self._dv_names = list(pq.ParquetFile(p).schema_arrow.names)
+        return self._dv_names
+
+    def docvalues(self, columns: list[str] | None = None) -> pa.Table:
+        """Fast-field (docvalues) columns. ``columns`` projects the read:
+        only the requested columns' data pages are fetched from storage
+        (a range/sort query touches ONE fast field — at corpus scale the
+        other columns are most of the file). Projected fetches accumulate
+        in a partial cache; a full-table read (columns=None) supersedes
+        it. Row order is deterministic across separate column fetches:
+        merged side files carry order-preserving lexicographic names."""
+        if columns is None:
+            if self._docvalues is None:
+                self._docvalues = pq.read_table(self._path(DOCVALUES_FILE))
+                self._dv_partial = None
+            return self._docvalues
+        if self._docvalues is not None:
+            return self._docvalues.select(columns)
+        have = set(self._dv_partial.column_names) if self._dv_partial is not None else set()
+        missing = [c for c in columns if c not in have]
+        if missing:
+            t = pq.read_table(self._path(DOCVALUES_FILE), columns=missing)
+            if self._dv_partial is None:
+                self._dv_partial = t
+            else:
+                for name in missing:
+                    self._dv_partial = self._dv_partial.append_column(
+                        t.schema.field(name), t[name]
+                    )
+        return self._dv_partial.select(columns)
 
     def doc_ids(self) -> np.ndarray:
-        return self.docvalues()["doc_id"].to_numpy(zero_copy_only=False)
+        return self.docvalues(["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
 
     def _ensure_term_index(self) -> None:
         if self._term_index is not None:

@@ -783,12 +783,13 @@ def minhash_lsh_pairs(
 
     ids_a = pairs_tbl["id_a"].to_numpy()
     ids_b = pairs_tbl["id_b"].to_numpy()
-    rows = ds.map_batches(to_blob, batch_format="pyarrow").take_all()
-    ids = np.array([r["k"] for r in rows], dtype=np.int64)
-    mat = (
-        np.stack([np.frombuffer(r["blob"], np.uint64) for r in rows])
-        if rows else np.empty((0, num_perm), np.uint64)
-    )
+    blob_tbl = gather_table(ds.map_batches(to_blob, batch_format="pyarrow"))
+    if blob_tbl is not None:
+        ids = col_i64(blob_tbl, "k")
+        mat = _blob_fixed_matrix(blob_tbl["blob"], num_perm)
+    else:
+        ids = np.empty(0, np.int64)
+        mat = np.empty((0, num_perm), np.uint64)
     order = np.argsort(ids)
     ids_sorted, mat = ids[order], mat[order]
     sa = mat[np.searchsorted(ids_sorted, ids_a)]
@@ -1116,15 +1117,27 @@ def ngram_jaccard_verify_pairs(
             }
         )
 
-    verified = with_b.map_batches(verify, batch_format="pyarrow").take_all()
-    got = {(int(r["id_a"]), int(r["id_b"])): float(r["jaccard"]) for r in verified}
+    vt = gather_table(with_b.map_batches(verify, batch_format="pyarrow"))
     out = pairs.copy()
-    # pairs whose doc id is missing from the corpus (no blob row) drop
-    # out of the inner join — preserve the old contract: jaccard 0.0
-    out["jaccard"] = [
-        got.get((int(a), int(b)), 0.0)
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
+    if vt is None:
+        out["jaccard"] = 0.0
+        return out
+    # vectorized (id_a, id_b) -> jaccard lookup; pairs whose doc id is
+    # missing from the corpus (no blob row) drop out of the inner join —
+    # preserve the old contract: jaccard 0.0. Structured dtype keeps
+    # >2^53 ids exact (no float key packing).
+    key_t = np.dtype([("a", np.int64), ("b", np.int64)])
+    kv = np.empty(vt.num_rows, key_t)
+    kv["a"], kv["b"] = col_i64(vt, "id_a"), col_i64(vt, "id_b")
+    jac_v = vt["jaccard"].to_numpy(zero_copy_only=False)
+    order = np.argsort(kv)
+    kv, jac_v = kv[order], jac_v[order]
+    kq = np.empty(len(pairs), key_t)
+    kq["a"] = pairs["id_a"].to_numpy().astype(np.int64)
+    kq["b"] = pairs["id_b"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(kv, kq).clip(max=max(kv.size - 1, 0))
+    hit = kv[pos] == kq if kv.size else np.zeros(kq.size, bool)
+    out["jaccard"] = np.where(hit, jac_v[pos], 0.0)
     return out
 
 
@@ -1652,14 +1665,14 @@ def dup_span_scrub(ds, col: str = "text", id_col: str = "doc_id", *,
         tot = np.bincount(inv, weights=c, minlength=hs.size)
         return pa.table({"h": pa.array(hs[tot >= 2])})
 
-    dup_rows = (
+    dup_tbl = gather_table(
         ds.map_batches(spans, batch_format="pyarrow")
         .groupby("part")
         .map_groups(lambda t: dup_only(t.drop_columns(["part"])),
                     batch_format="pyarrow")
-        .take_all()
     )
-    dup_set = np.sort(np.array([int(r["h"]) for r in dup_rows], dtype=np.int64))
+    dup_set = (np.sort(col_i64(dup_tbl, "h")) if dup_tbl is not None
+               else np.empty(0, np.int64))
     _LOG.info("dup_span_scrub: %d duplicated span hashes broadcast", dup_set.size)
     ref = ray.put(dup_set)
 

@@ -607,6 +607,124 @@ def test_log_merge_level_band_semantics():
     assert log_merge_candidates([close[0]] + far) == []
 
 
+def test_zone_map_prunes_disjoint_segments(ray_session, monkeypatch):
+    """Per-segment [min, max] zone maps: a range / numeric-term query
+    whose bounds are disjoint with a segment's fast-field bounds must
+    skip that segment's docvalues entirely (no data-page reads)."""
+    import toshi_ray.segments as segments
+
+    root = tempfile.mkdtemp(prefix="toshi_zone_")
+    build_index(pages_dataset(400, parallelism=4), page_schema(), root,
+                docs_per_segment=100)
+    s = Searcher(root, distributed=False)
+    assert len(s.segments) == 4
+    for seg in s.segments:
+        z = seg["fastfield_stats"]["doc_id"]
+        assert z == [seg["min_doc_id"], seg["max_doc_id"]]
+
+    reads: list[str] = []
+    orig = segments.pq.read_table
+
+    def spy(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(segments.pq, "read_table", spy)
+    # range inside ONE segment's doc-id span → exactly one segment's
+    # docvalues open
+    ids = s.match_doc_ids({"query": {"range": {"doc_id": {"gte": 150, "lt": 180}}}})
+    assert sorted(int(i) for i in ids) == list(range(150, 180))
+    dv_dirs = {p for p in reads if "docvalues" in p}
+    assert len(dv_dirs) == 1, dv_dirs
+    # range above every segment → zero reads of any kind
+    reads.clear()
+    ids = s.match_doc_ids({"query": {"range": {"doc_id": {"gte": 5000}}}})
+    assert ids.size == 0 and reads == []
+    # numeric-term equality outside the corpus → zero reads
+    ids = s.match_doc_ids({"query": {"term": {"doc_id": 5001}}})
+    assert ids.size == 0 and reads == []
+    monkeypatch.setattr(segments.pq, "read_table", orig)
+
+    # correctness guard: a straddling range with stats stripped gives the
+    # identical answer (pruning is an optimization, never a filter)
+    body = {"query": {"range": {"doc_id": {"gte": 95, "lte": 205}}}}
+    with_stats = sorted(int(i) for i in s.match_doc_ids(body))
+    assert s._groups, "groups must be materialized by the queries above"
+    for _, scorer in s._groups:
+        for r in scorer.readers:
+            r.meta.pop("fastfield_stats")
+    assert sorted(int(i) for i in s.match_doc_ids(body)) == with_stats
+    assert with_stats == list(range(95, 206))
+
+
+def test_zone_map_survives_merge(ray_session):
+    """Merged segments recompute zone maps from parquet footer
+    statistics; pruning + results stay exact post-merge."""
+    root = tempfile.mkdtemp(prefix="toshi_zone_merge_")
+    build_index(pages_dataset(400, parallelism=4), page_schema(), root,
+                docs_per_segment=50)
+    merge_segments(root)
+    s = Searcher(root, distributed=False)
+    metas = s.segments
+    assert any("merged" in m["name"] for m in metas)
+    for m in metas:
+        z = m["fastfield_stats"]["doc_id"]
+        assert z[0] == m["min_doc_id"] and z[1] == m["max_doc_id"]
+    ids = s.match_doc_ids({"query": {"range": {"doc_id": {"gte": 150, "lt": 180}}}})
+    assert sorted(int(i) for i in ids) == list(range(150, 180))
+
+
+def test_zone_map_numeric_field(ray_session, monkeypatch):
+    """Zone maps on a non-doc_id i64 fast field, correlated with the
+    segment layout: disjoint segments are skipped, straddling ranges
+    stay exact."""
+    import pyarrow as pa
+    import ray.data
+
+    import toshi_ray.segments as segments
+
+    n = 300
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.uint64)),
+        "val": pa.array(np.arange(n, dtype=np.int64) * 3 - 50),
+        "text": pa.array([f"doc number {i}" for i in range(n)]),
+    })
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("val", "i64", fast=True),
+        FieldDef("text", "text"),
+    )
+    root = tempfile.mkdtemp(prefix="toshi_zone_val_")
+    build_index(ray.data.from_arrow(tbl), schema, root, docs_per_segment=100)
+    s = Searcher(root, distributed=False)
+
+    reads: list[str] = []
+    orig = segments.pq.read_table
+
+    def spy(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(segments.pq, "read_table", spy)
+    # val in [400, 500] → docs 150..183 → only the middle segment
+    ids = s.match_doc_ids({"query": {"range": {"val": {"gte": 400, "lte": 500}}}})
+    expect = [i for i in range(n) if 400 <= i * 3 - 50 <= 500]
+    assert sorted(int(i) for i in ids) == expect
+    assert len({p for p in reads if "docvalues" in p}) == 1
+    # exclusive bounds at the exact segment edge: seg0 max val = 99*3-50
+    # = 247; gt=247 must exclude seg0, lte=250 keeps seg1 (min val 250)
+    reads.clear()
+    ids = s.match_doc_ids({"query": {"range": {"val": {"gt": 247, "lte": 250}}}})
+    assert sorted(int(i) for i in ids) == [100]  # only val 250 (doc 100)
+    # seg1's val column is already in the reader's partial cache from the
+    # first query; seg0/seg2 are zone-pruned — so no new reads at all
+    assert [p for p in reads if "docvalues" in p] == []
+    # fully disjoint exclusive window between segments → all pruned
+    reads.clear()
+    ids = s.match_doc_ids({"query": {"range": {"val": {"gt": 247, "lt": 250}}}})
+    assert ids.size == 0 and reads == []
+
+
 def test_fastfield_reads_are_column_pruned(ray_session, monkeypatch):
     """Range and sort queries must fetch ONLY the fast-field columns
     they touch from docvalues — never the whole docvalues table, and

@@ -645,24 +645,37 @@ def merge_segments(
     # + row-group statistics) — never a data-page read: at 10^9 docs the
     # doc_id column alone would be ~8 GB of driver RAM
     n_docs = 0
-    id_min, id_max = None, None
     stats_missing = False
+    # zone maps for EVERY integer fast-field column (doc_id + numerics)
+    # from the same footer pass; a column with any stats-less row group
+    # is dropped (bounds must never be narrower than the data)
+    zone: dict[str, list[int]] = {}
+    zone_bad: set[str] = set()
     dv_dir = os.path.join(tmp, "docvalues")
     for fn in os.listdir(dv_dir):
         if not fn.endswith(".parquet"):
             continue
         md = pq.ParquetFile(os.path.join(dv_dir, fn)).metadata
         n_docs += md.num_rows
-        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
-        for rg in range(md.num_row_groups):
-            if not md.row_group(rg).num_rows:
+        col_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for ci, name in enumerate(col_names):
+            if name.startswith("norm_") or name.startswith("facet_"):
                 continue
-            st = md.row_group(rg).column(col_idx).statistics
-            if st is None or st.min is None:
-                stats_missing = True
-                continue
-            id_min = st.min if id_min is None else min(id_min, st.min)
-            id_max = st.max if id_max is None else max(id_max, st.max)
+            for rg in range(md.num_row_groups):
+                if not md.row_group(rg).num_rows:
+                    continue
+                st = md.row_group(rg).column(ci).statistics
+                ok = (st is not None and isinstance(st.min, int)
+                      and not isinstance(st.min, bool))
+                if not ok:
+                    zone_bad.add(name)
+                    continue
+                lo, hi = zone.get(name, (st.min, st.max))
+                zone[name] = [min(lo, st.min), max(hi, st.max)]
+    for name in zone_bad:
+        zone.pop(name, None)
+    stats_missing = "doc_id" in zone_bad
+    id_min, id_max = zone.get("doc_id", (None, None))
     if n_docs and (stats_missing or id_min is None):
         # a writer without column statistics must not silently produce
         # min/max = 0 — doc-id allocation (_append_docs) and merge
@@ -670,6 +683,7 @@ def merge_segments(
         dv = pq.read_table(dv_dir, columns=["doc_id"])
         ids = dv["doc_id"].to_numpy(zero_copy_only=False)
         id_min, id_max = int(ids.min()), int(ids.max())
+        zone["doc_id"] = [id_min, id_max]
     field_stats: dict[str, dict] = {}
     for s in sources:
         for f, st in s.get("field_stats", {}).items():
@@ -683,6 +697,7 @@ def merge_segments(
         "min_doc_id": int(id_min) if id_min is not None else 0,
         "max_doc_id": int(id_max) if id_max is not None else 0,
         "field_stats": field_stats,
+        "fastfield_stats": zone,
         "merged_from": names,  # lineage
         "metrics": {
             "merge_secs": round(__import__("time").perf_counter() - t0, 3),

@@ -75,6 +75,29 @@ def idf(n_docs: int, df) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _zone_excludes(reader, col: str, *, gt=None, gte=None, lt=None, lte=None) -> bool:
+    """True when the segment's zone map ([min, max] per integer fast
+    field, written at build/merge time) proves NO doc can satisfy the
+    bounds — the caller skips the segment without touching docvalues
+    data pages. Exclusive bounds win over inclusive, mirroring the
+    evaluation path (range.rs:131-153). Absent stats → never exclude."""
+    z = reader.meta.get("fastfield_stats", {}).get(col)
+    if not z:
+        return False
+    zmin, zmax = z
+    if gt is not None:
+        if zmax <= gt:
+            return True
+    elif gte is not None and zmax < gte:
+        return True
+    if lt is not None:
+        if zmin >= lt:
+            return True
+    elif lte is not None and zmin > lte:
+        return True
+    return False
+
+
 def take_ranges(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather many [start, start+len) slices of ``values`` (vectorized)."""
     if starts.size == 0 or lens.sum() == 0:
@@ -588,7 +611,6 @@ class SegmentGroupScorer:
             col = node.field if fdef.is_numeric else f"facet_{node.field}"
             if col not in reader.dv_column_names():
                 return np.empty(0, np.uint64), np.empty(0, np.float64)
-            vals = reader.docvalues([col])[col]
             if fdef.is_numeric:
                 try:
                     target = int(node.value)
@@ -596,8 +618,11 @@ class SegmentGroupScorer:
                     raise QueryError.execution(
                         f"Invalid value for numeric field '{node.field}': '{node.value}'"
                     )
+                if _zone_excludes(reader, col, gte=target, lte=target):
+                    return np.empty(0, np.uint64), np.empty(0, np.float64)
             else:
                 target = node.value
+            vals = reader.docvalues([col])[col]
             # fill_null: a doc that omits this optional field stores a
             # null — pc.equal propagates it and the null-bearing boolean
             # would come back as an OBJECT array that numpy rejects as a
@@ -682,6 +707,13 @@ class SegmentGroupScorer:
                         raise QueryError.json(
                             f"invalid value: integer `{bnd}`, expected u64"
                         )
+            if node.field not in reader.dv_column_names():
+                raise QueryError.execution(f"Unknown field: {node.field}")
+            if _zone_excludes(reader, node.field, gt=node.gt, gte=node.gte,
+                              lt=node.lt, lte=node.lte):
+                # segment zone map proves no doc can match — skip the
+                # docvalues data pages entirely
+                return np.empty(0, np.uint64), np.empty(0, np.float64)
             vals = self._fast_values_all(reader, node.field)
             mask = np.ones(vals.size, dtype=bool)
             # exclusive bounds win over inclusive (range.rs:131-153)

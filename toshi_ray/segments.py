@@ -252,6 +252,12 @@ def build_segment_tables(
     posting_parts: list[pa.Table] = []
     dv_cols: dict[str, pa.Array] = {doc_id_col: pa.array(doc_ids, type=pa.uint64())}
     field_stats: dict[str, dict] = {}
+    # zone map: [min, max] per integer fast field — a range / numeric-term
+    # query skips the whole segment (no docvalues data pages) when its
+    # bounds are disjoint with the segment's
+    fastfield_stats: dict[str, list[int]] = (
+        {doc_id_col: [int(doc_ids.min()), int(doc_ids.max())]} if len(doc_ids) else {}
+    )
 
     for f in schema.fields:
         if f.is_text and f.indexed:
@@ -271,6 +277,10 @@ def build_segment_tables(
                 dv_cols[f.name] = col.cast(pa.timestamp("us")).combine_chunks()
             else:
                 dv_cols[f.name] = col.cast(pa.int64()).combine_chunks()
+            if f.type != "date":
+                mm = pa.compute.min_max(dv_cols[f.name])
+                if mm["min"].is_valid:
+                    fastfield_stats[f.name] = [mm["min"].as_py(), mm["max"].as_py()]
         elif f.type == FACET and f.name in batch.column_names:
             dv_cols[f"facet_{f.name}"] = batch[f.name].cast(pa.string()).combine_chunks()
 
@@ -293,6 +303,7 @@ def build_segment_tables(
         "min_doc_id": int(doc_ids.min()) if len(doc_ids) else 0,
         "max_doc_id": int(doc_ids.max()) if len(doc_ids) else 0,
         "field_stats": field_stats,
+        "fastfield_stats": fastfield_stats,
         "num_terms": postings.num_rows,
     }
     return postings, docvalues, store, meta

@@ -643,6 +643,12 @@ def test_zone_map_prunes_disjoint_segments(ray_session, monkeypatch):
     # numeric-term equality outside the corpus → zero reads
     ids = s.match_doc_ids({"query": {"term": {"doc_id": 5001}}})
     assert ids.size == 0 and reads == []
+    # sort-by top-k: the zmax-desc visit order fills k rows from the
+    # top segment, and the running-kth threshold prunes the other three
+    reads.clear()
+    r = s.search({"query": None, "sort_by": "doc_id", "limit": 5})
+    assert [d["doc"]["doc_id"] for d in r["docs"]] == [399, 398, 397, 396, 395]
+    assert len({p for p in reads if "docvalues" in p}) == 1
     monkeypatch.setattr(segments.pq, "read_table", orig)
 
     # correctness guard: a straddling range with stats stripped gives the

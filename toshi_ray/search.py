@@ -260,6 +260,7 @@ class SegmentGroupScorer:
         k: int,
         sort_by: str | None = None,
         facets: dict | None = None,
+        sort_floor: float | None = None,
     ):
         """Per-segment eval → local top-k. Returns
         (rows [(doc_id, score, seg_idx_local)], facet_counts dict)."""
@@ -292,7 +293,35 @@ class SegmentGroupScorer:
                 for q in plan.should
             )
         )
-        for si, reader in enumerate(self.readers):
+        readers_iter = list(enumerate(self.readers))
+        # sort-by top-k zone pruning: a segment whose zone-map max for
+        # the sort field is below the running k-th value cannot place a
+        # doc in the top k (sort is value-desc, doc_id-asc tie-break; a
+        # tie at zmax could still win on doc_id, so the skip is strict
+        # <). Visit unknown-bound segments first, then zmax-desc so the
+        # threshold tightens as early as possible. Facets need every
+        # segment's matches, so any facet request disables the skip.
+        # `sort_floor` is a driver-computed GLOBAL lower bound on the
+        # k-th sort value (sound across scorer groups, where the local
+        # running threshold cannot see other groups' segments).
+        sort_prune = sort_by is not None and not facets
+        if sort_prune:
+            def _zmax(r):
+                z = r.meta.get("fastfield_stats", {}).get(sort_by)
+                return None if z is None else z[1]
+
+            readers_iter.sort(
+                key=lambda p: (0, 0) if _zmax(p[1]) is None else (1, -_zmax(p[1]))
+            )
+            top_vals: list[float] = []  # running top-k sort values, desc
+        for si, reader in readers_iter:
+            if sort_prune:
+                zm = _zmax(reader)
+                if zm is not None and (
+                    (sort_floor is not None and zm < sort_floor)
+                    or (len(top_vals) >= k and zm < top_vals[k - 1])
+                ):
+                    continue
             if use_blockmax:
                 doc_ids, scores = self._topk_term_blockmax(plan, reader, stats, k)
             elif use_union:
@@ -314,18 +343,26 @@ class SegmentGroupScorer:
                 order = np.lexsort((doc_ids, -vals))[:k]
                 for i in order:
                     top_rows.append((int(doc_ids[i]), float(vals[i]), si))
+                if sort_prune:
+                    top_vals = sorted(
+                        top_vals + [float(vals[i]) for i in order], reverse=True
+                    )[:k]
             else:
                 order = np.lexsort((doc_ids, -scores))[:k]
                 for i in order:
                     top_rows.append((int(doc_ids[i]), float(scores[i]), si))
         return top_rows, facet_counts
 
-    def score_topk_many(self, plans, stats: Stats, ks, sort_bys, facets_list):
+    def score_topk_many(
+        self, plans, stats: Stats, ks, sort_bys, facets_list, sort_floors=None
+    ):
         """Batched variant: score MANY queries in one actor round-trip
         (amortizes RPC + postings fetch for query-set workloads)."""
+        if sort_floors is None:
+            sort_floors = [None] * len(plans)
         return [
-            self.score_topk(p, stats, k, sb, fc)
-            for p, k, sb, fc in zip(plans, ks, sort_bys, facets_list)
+            self.score_topk(p, stats, k, sb, fc, fl)
+            for p, k, sb, fc, fl in zip(plans, ks, sort_bys, facets_list, sort_floors)
         ]
 
     def count_matches(self, plan, stats: Stats) -> int:
@@ -1230,6 +1267,46 @@ class Searcher:
         """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""
         return self.multi_search([body])[0]
 
+    def _sort_floor(self, s: Search, stats: Stats) -> float | None:
+        """Driver-side global lower bound on the k-th sort value for a
+        match-all sort-by query, from the manifest's zone maps alone.
+
+        Scorer groups prune independently (each sees only its own
+        segments), so with one segment per group the in-group running
+        threshold never engages. For `AllQuery` the driver CAN bound
+        the k-th value without scoring: every live doc of a segment
+        matches, so walking segments by zone-min descending and
+        accumulating live-doc counts until >= k proves that k matching
+        docs have sort value >= that zone-min. Any segment whose
+        zone-max is strictly below it cannot place a row (a tie at the
+        floor could still win the doc_id tie-break, hence strict <).
+        Filtered queries give no per-segment match counts, so no floor."""
+        if s.sort_by is None or s.facets or not isinstance(s.query, AllQuery):
+            return None
+        k = s.limit
+        tomb = stats.tombstones
+        if tomb is not None and tomb.size:
+            tomb = np.sort(tomb)
+        cands = []
+        for seg in self.segments:
+            z = seg.get("fastfield_stats", {}).get(s.sort_by)
+            if z is None:
+                continue  # unknown-bound segments just don't contribute
+            live = int(seg["num_docs"])
+            if tomb is not None and tomb.size:
+                lo = np.searchsorted(tomb, int(seg["min_doc_id"]), "left")
+                hi = np.searchsorted(tomb, int(seg["max_doc_id"]), "right")
+                live -= int(hi - lo)
+            if live > 0:
+                cands.append((float(z[0]), live))
+        cands.sort(key=lambda t: -t[0])
+        acc = 0
+        for zmin, live in cands:
+            acc += live
+            if acc >= k:
+                return zmin
+        return None
+
     def multi_search(self, bodies: list) -> list[dict]:
         """Execute a batch of queries with ONE stats round-trip and ONE
         scoring round-trip per scorer group (query-set workloads)."""
@@ -1237,6 +1314,7 @@ class Searcher:
         # shared stats phase over the union of needed terms; global df is
         # static per manifest version, so repeat terms skip the round-trip
         stats = self._stats_for_plans([s.query for s in searches])
+        floors = [self._sort_floor(s, stats) for s in searches]
         # scoring AND winner-fetch pin ONE pool snapshot: a refresh
         # between the phases would remap group indices to different
         # segment sets and fetch the wrong stored docs
@@ -1249,6 +1327,7 @@ class Searcher:
                 [s.limit for s in searches],
                 [s.sort_by for s in searches],
                 [s.facets for s in searches],
+                floors,
             )
 
             # per-query global merge + one combined winner-fetch per group

@@ -12,6 +12,7 @@ import pytest
 from toshi_ray.functions.oracle import BruteForceIndex
 from toshi_ray.pipelines.build import build_index
 from toshi_ray.pipelines.merge import delete_by_term, gc_segments, merge_segments
+from toshi_ray.query import AllQuery, Search
 from toshi_ray.schema import FieldDef, Schema
 from toshi_ray.search import Searcher
 from toshi_ray.sources.webpages import extract_text, make_pages_batch, pages_dataset
@@ -661,6 +662,26 @@ def test_zone_map_prunes_disjoint_segments(ray_session, monkeypatch):
             r.meta.pop("fastfield_stats")
     assert sorted(int(i) for i in s.match_doc_ids(body)) == with_stats
     assert with_stats == list(range(95, 206))
+
+
+def test_sort_floor_respects_tombstones(ray_session):
+    """The driver-side match-all sort floor counts LIVE docs per
+    segment: with 3 of the top segment's 100 docs tombstoned and
+    k=100, the k-th row must come from the next segment down — an
+    unadjusted floor would prune it and silently drop 3 rows."""
+    root = tempfile.mkdtemp(prefix="toshi_floor_tomb_")
+    build_index(pages_dataset(400, parallelism=4), page_schema(), root,
+                docs_per_segment=100)
+    for victim in (399, 398, 397):
+        assert delete_by_term(root, "doc_id", victim) == 1
+    s = Searcher(root, distributed=False)
+    # the floor itself must sit at/below the 100th LIVE value (297)
+    stats = s._stats_for_plans([AllQuery()])
+    fl = s._sort_floor(Search(sort_by="doc_id", limit=100), stats)
+    assert fl is not None and fl <= 297
+    r = s.search({"query": None, "sort_by": "doc_id", "limit": 100})
+    got = [d["doc"]["doc_id"] for d in r["docs"]]
+    assert got == list(range(396, 296, -1))
 
 
 def test_zone_map_survives_merge(ray_session):

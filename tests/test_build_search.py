@@ -621,7 +621,7 @@ def test_zone_map_prunes_disjoint_segments(ray_session, monkeypatch):
     assert len(s.segments) == 4
     for seg in s.segments:
         z = seg["fastfield_stats"]["doc_id"]
-        assert z == [seg["min_doc_id"], seg["max_doc_id"]]
+        assert z == [seg["min_doc_id"], seg["max_doc_id"], seg["num_docs"]]
 
     reads: list[str] = []
     orig = segments.pq.read_table
@@ -677,7 +677,7 @@ def test_sort_floor_respects_tombstones(ray_session):
     s = Searcher(root, distributed=False)
     # the floor itself must sit at/below the 100th LIVE value (297)
     stats = s._stats_for_plans([AllQuery()])
-    fl = s._sort_floor(Search(sort_by="doc_id", limit=100), stats)
+    fl = s._sort_floor(Search(sort_by="doc_id", limit=100), stats, s.segments)
     assert fl is not None and fl <= 297
     r = s.search({"query": None, "sort_by": "doc_id", "limit": 100})
     got = [d["doc"]["doc_id"] for d in r["docs"]]
@@ -697,6 +697,8 @@ def test_zone_map_survives_merge(ray_session):
     for m in metas:
         z = m["fastfield_stats"]["doc_id"]
         assert z[0] == m["min_doc_id"] and z[1] == m["max_doc_id"]
+        # merged segments carry the valid-count too (footer null counts)
+        assert len(z) == 3 and z[2] == m["num_docs"]
     ids = s.match_doc_ids({"query": {"range": {"doc_id": {"gte": 150, "lt": 180}}}})
     assert sorted(int(i) for i in ids) == list(range(150, 180))
 
@@ -750,6 +752,51 @@ def test_zone_map_numeric_field(ray_session, monkeypatch):
     reads.clear()
     ids = s.match_doc_ids({"query": {"range": {"val": {"gt": 247, "lt": 250}}}})
     assert ids.size == 0 and reads == []
+
+
+def test_sort_floor_null_values(ray_session):
+    """NULL sort values sort LAST and must not inflate the sort floor:
+    a segment of 100 docs where only ONE carries the sort field has a
+    tight zone map ([1000, 1000]) but just one valued doc — counting
+    all 100 would set the floor at 1000 and prune the segment holding
+    the real runners-up."""
+    import pyarrow as pa
+    import ray.data
+
+    # segment A: docs 0..99, val null except doc 7 -> 1000
+    # segment B: docs 100..199, val 500..599
+    vals = [None] * 100 + list(range(500, 600))
+    vals[7] = 1000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.uint64)),
+        "val": pa.array(vals, type=pa.int64()),
+        "text": pa.array([f"doc number {i}" for i in range(200)]),
+    })
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("val", "i64", fast=True),
+        FieldDef("text", "text"),
+    )
+    root = tempfile.mkdtemp(prefix="toshi_null_floor_")
+    build_index(ray.data.from_arrow(tbl), schema, root, docs_per_segment=100)
+    s = Searcher(root, distributed=False)
+    za = s.segments[0]["fastfield_stats"]["val"]
+    assert za == [1000, 1000, 1]
+    # k=10: floor must NOT prune segment B (A holds only 1 valued doc)
+    r = s.search({"query": None, "sort_by": "val", "limit": 10})
+    got = [d["doc"]["doc_id"] for d in r["docs"]]
+    assert got == [7] + list(range(199, 190, -1))
+    # k=1: A's single valued doc DOES prove floor 1000 -> B prunable
+    st = s._stats_for_plans([AllQuery()])
+    assert s._sort_floor(Search(sort_by="val", limit=1), st, s.segments) == 1000.0
+    # nulls last, doc_id ascending among them; past-the-end k is exact
+    r = s.search({"query": None, "sort_by": "val", "limit": 200})
+    got = [d["doc"]["doc_id"] for d in r["docs"]]
+    valued = [7] + list(range(199, 99, -1))
+    assert got == valued + [i for i in range(100) if i != 7]
+    # limit 0 returns no rows (and must not crash the prune threshold)
+    r = s.search({"query": None, "sort_by": "val", "limit": 0})
+    assert r["hits"] == 0 and r["docs"] == []
 
 
 def test_fastfield_reads_are_column_pruned(ray_session, monkeypatch):

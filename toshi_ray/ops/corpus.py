@@ -85,6 +85,34 @@ def _spart(source: pa.Array) -> pa.Array:
     )
 
 
+def _floored_counts(t: pa.Table, min_count: int) -> pa.Table:
+    """Sum one partition's (gram, cnt) partials and floor the result:
+    grams below ``min_count`` are dropped but their summed mass is
+    re-added as a single empty-string marker row (no real token can be
+    ""), so Σcnt — the exact corpus total N — survives the floor while
+    the junk-hapax bulk of a web vocabulary never reaches the driver.
+    Shared by `collocations` and `lm_surprisal`; both strip the marker
+    rows after summing Σcnt."""
+    if t.num_rows == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    gc, gvoc = _codes(t["gram"])
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
+    if min_count <= 1:
+        return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
+    keep = tot >= min_count
+    dropped = int(tot[~keep].sum())
+    out_g = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
+    if isinstance(out_g, pa.ChunkedArray):
+        out_g = out_g.combine_chunks()
+    out_c = tot[keep]
+    if dropped:
+        out_g = pa.concat_arrays([out_g, pa.array([""], pa.string())])
+        out_c = np.r_[out_c, dropped]
+    return pa.table({"gram": out_g, "cnt": pa.array(out_c)})
+
+
 def _ngram_partial(t: pa.Table, col: str, n: int) -> pa.Table:
     """Per-batch DISTINCT n-gram partial counts (the map-side combiner
     shared by `top_ngrams` and `collocations`): → (gram, cnt, part)."""
@@ -333,25 +361,9 @@ def collocations(ds, *, k: int = 30, min_count: int = 5, col: str = "text"):
         # a bigram with cnt >= min_count implies BOTH its halves have
         # unigram cnt >= min_count (each bigram occurrence contains one
         # of each half), so flooring the broadcast table at the same
-        # min_count is LOSSLESS for PMI lookups — the junk-hapax bulk of
-        # a web vocabulary never reaches the driver. The dropped mass is
-        # re-added via an empty-string marker row so total N stays exact.
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        gc, gvoc = _codes(t["gram"])
-        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
-        keep = tot >= min_count
-        dropped = int(tot[~keep].sum())
-        out_g = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
-        if isinstance(out_g, pa.ChunkedArray):
-            out_g = out_g.combine_chunks()
-        out_c = tot[keep]
-        if dropped:
-            out_g = pa.concat_arrays([out_g, pa.array([""], pa.string())])
-            out_c = np.r_[out_c, dropped]
-        return pa.table({"gram": out_g, "cnt": pa.array(out_c)})
+        # min_count is LOSSLESS for PMI lookups; _floored_counts keeps
+        # total N exact via its dropped-mass marker row.
+        return _floored_counts(t, min_count)
 
     from toshi_ray.ops._gather import col_i64, gather_table
 

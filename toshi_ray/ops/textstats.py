@@ -587,34 +587,16 @@ def lm_surprisal(ds, col: str = "text", id_col: str = "doc_id",
     import ray
     import ray.data  # noqa: F401
 
-    from toshi_ray.ops.corpus import _codes, _ngram_partial
-
-    def uni_sum(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        gc, gvoc = _codes(t["gram"])
-        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = np.bincount(gc, weights=cnt, minlength=len(gvoc)).astype(np.int64)
-        if min_count > 1:
-            keep = tot >= min_count
-            dropped = int(tot[~keep].sum())
-            out_g = gvoc.take(pa.array(np.flatnonzero(keep))).cast(pa.string())
-            out_c = tot[keep]
-            if dropped:
-                out_g = pa.concat_arrays([out_g.combine_chunks()
-                                          if isinstance(out_g, pa.ChunkedArray)
-                                          else out_g, pa.array([""], pa.string())])
-                out_c = np.r_[out_c, dropped]
-            return pa.table({"gram": out_g, "cnt": pa.array(out_c)})
-        return pa.table({"gram": gvoc.cast(pa.string()), "cnt": pa.array(tot)})
+    from toshi_ray.ops.corpus import _floored_counts, _ngram_partial
 
     uni_t = gather_table(
         ds.select_columns([col])
         .map_batches(lambda t: _ngram_partial(t, col, 1), batch_format="pyarrow")
         .groupby("part")
-        .map_groups(lambda t: uni_sum(t.drop_columns(["part"])),
-                    batch_format="pyarrow")
+        .map_groups(
+            lambda t: _floored_counts(t.drop_columns(["part"]), min_count),
+            batch_format="pyarrow",
+        )
     )
     if uni_t is None:
         words = np.array([], dtype=object)

@@ -50,7 +50,10 @@ SEGMENTS_DIR = "segments"
 # v3 = analyzer full-lowercase parity (U+0130 expands to 'i'+U+0307,
 #      matching Rust char::to_lowercase) — same layout as v2, but any
 #      pre-v3 index of non-ASCII text disagrees with query-side analysis
-FORMAT_VERSION = 3
+# v4 = per-segment fastfield_stats zone maps ([min, max, n_valid] per
+#      integer fast field) in segment meta — pre-v4 segments lack them,
+#      so a stale cache would silently serve the unpruned read path
+FORMAT_VERSION = 4
 
 
 class SegmentBuilder:

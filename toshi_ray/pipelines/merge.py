@@ -651,6 +651,11 @@ def merge_segments(
     # is dropped (bounds must never be narrower than the data)
     zone: dict[str, list[int]] = {}
     zone_bad: set[str] = set()
+    # non-null value counts per column (the zone map's third element,
+    # needed by the sort-by floor); a row group without a null_count
+    # statistic poisons the column's count but keeps its [min, max]
+    zone_valid: dict[str, int] = {}
+    count_bad: set[str] = set()
     dv_dir = os.path.join(tmp, "docvalues")
     for fn in os.listdir(dv_dir):
         if not fn.endswith(".parquet"):
@@ -670,12 +675,21 @@ def merge_segments(
                 if not ok:
                     zone_bad.add(name)
                     continue
-                lo, hi = zone.get(name, (st.min, st.max))
+                lo, hi = zone.get(name, (st.min, st.max))[:2]
                 zone[name] = [min(lo, st.min), max(hi, st.max)]
+                if st.has_null_count:
+                    zone_valid[name] = zone_valid.get(name, 0) + (
+                        md.row_group(rg).num_rows - st.null_count
+                    )
+                else:
+                    count_bad.add(name)
+    for name, z in zone.items():
+        if name not in count_bad and name in zone_valid:
+            z.append(int(zone_valid[name]))
     for name in zone_bad:
         zone.pop(name, None)
     stats_missing = "doc_id" in zone_bad
-    id_min, id_max = zone.get("doc_id", (None, None))
+    id_min, id_max = zone.get("doc_id", (None, None))[:2]
     if n_docs and (stats_missing or id_min is None):
         # a writer without column statistics must not silently produce
         # min/max = 0 — doc-id allocation (_append_docs) and merge
@@ -683,7 +697,7 @@ def merge_segments(
         dv = pq.read_table(dv_dir, columns=["doc_id"])
         ids = dv["doc_id"].to_numpy(zero_copy_only=False)
         id_min, id_max = int(ids.min()), int(ids.max())
-        zone["doc_id"] = [id_min, id_max]
+        zone["doc_id"] = [id_min, id_max, int(ids.size)]
     field_stats: dict[str, dict] = {}
     for s in sources:
         for f, st in s.get("field_stats", {}).items():

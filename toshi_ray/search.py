@@ -84,7 +84,7 @@ def _zone_excludes(reader, col: str, *, gt=None, gte=None, lt=None, lte=None) ->
     z = reader.meta.get("fastfield_stats", {}).get(col)
     if not z:
         return False
-    zmin, zmax = z
+    zmin, zmax = z[0], z[1]
     if gt is not None:
         if zmax <= gt:
             return True
@@ -304,11 +304,15 @@ class SegmentGroupScorer:
         # `sort_floor` is a driver-computed GLOBAL lower bound on the
         # k-th sort value (sound across scorer groups, where the local
         # running threshold cannot see other groups' segments).
-        sort_prune = sort_by is not None and not facets
+        sort_prune = sort_by is not None and not facets and k > 0
         if sort_prune:
             def _zmax(r):
+                # float cast: the ranking itself is float64-based
+                # (_fast_values astype), so the prune must compare in
+                # the same rounded domain — an exact-int comparison
+                # could prune a >2^53 value that TIES the k-th float
                 z = r.meta.get("fastfield_stats", {}).get(sort_by)
-                return None if z is None else z[1]
+                return None if z is None else float(z[1])
 
             readers_iter.sort(
                 key=lambda p: (0, 0) if _zmax(p[1]) is None else (1, -_zmax(p[1]))
@@ -344,8 +348,13 @@ class SegmentGroupScorer:
                 for i in order:
                     top_rows.append((int(doc_ids[i]), float(vals[i]), si))
                 if sort_prune:
+                    # NULL sort values surface as NaN — keep them out
+                    # of the threshold (NaN both misorders Python's
+                    # sorted() and is not a value bound); the threshold
+                    # engages only once k REAL values are collected
                     top_vals = sorted(
-                        top_vals + [float(vals[i]) for i in order], reverse=True
+                        top_vals + [v for i in order if (v := float(vals[i])) == v],
+                        reverse=True,
                     )[:k]
             else:
                 order = np.lexsort((doc_ids, -scores))[:k]
@@ -1017,6 +1026,7 @@ class Searcher:
                 distributed = False
         self.distributed = distributed
         self._groups: list = []
+        self._pool_segments: list = []
         import threading
 
         self._pool_lock = threading.Lock()  # guards _groups/_retired/_inflight
@@ -1184,6 +1194,11 @@ class Searcher:
             ]
         # map (group, local idx) -> global segment dir for doc fetch
         self._group_dirs = [g for g in grouped if g]
+        # the manifest rows this pool was built from: driver-side
+        # decisions that must agree with what the scorers read (the
+        # sort floor) use THIS snapshot, not self.segments, which a
+        # concurrent refresh may have already advanced
+        self._pool_segments = list(self.segments)
 
     import contextlib as _contextlib
 
@@ -1197,9 +1212,10 @@ class Searcher:
         with self._pool_lock:
             self._ensure_groups()
             groups = list(self._groups)
+            pool_segments = self._pool_segments
             self._inflight += 1
         try:
-            yield groups
+            yield groups, pool_segments
         finally:
             with self._pool_lock:
                 self._inflight -= 1
@@ -1225,7 +1241,7 @@ class Searcher:
         return outs
 
     def _call(self, method: str, *args):
-        with self._pool() as groups:
+        with self._pool() as (groups, _):
             return self._dispatch(groups, method, *args)
 
     # ------------- queries -------------
@@ -1267,33 +1283,43 @@ class Searcher:
         """→ {"hits": n, "docs": [{"score": s, "doc": {...}}], "facets": {...}}"""
         return self.multi_search([body])[0]
 
-    def _sort_floor(self, s: Search, stats: Stats) -> float | None:
+    @staticmethod
+    def _sort_floor(s: Search, stats: Stats, segments: list[dict]) -> float | None:
         """Driver-side global lower bound on the k-th sort value for a
         match-all sort-by query, from the manifest's zone maps alone.
 
         Scorer groups prune independently (each sees only its own
         segments), so with one segment per group the in-group running
         threshold never engages. For `AllQuery` the driver CAN bound
-        the k-th value without scoring: every live doc of a segment
-        matches, so walking segments by zone-min descending and
-        accumulating live-doc counts until >= k proves that k matching
-        docs have sort value >= that zone-min. Any segment whose
-        zone-max is strictly below it cannot place a row (a tie at the
-        floor could still win the doc_id tie-break, hence strict <).
-        Filtered queries give no per-segment match counts, so no floor."""
+        the k-th value without scoring: every live VALUED doc of a
+        segment matches with sort value >= the segment's zone-min, so
+        walking segments by zone-min descending and accumulating
+        valued-live counts until >= k proves k rows sort at/above that
+        zone-min. Any segment whose zone-max is strictly below it
+        cannot place a row (a tie at the floor could still win the
+        doc_id tie-break, hence strict <). Docs with a NULL sort value
+        sort LAST, so only the zone map's n_valid count (stats without
+        it contribute nothing) may be accumulated — counting null docs
+        would prune segments that hold real top-k rows. Filtered
+        queries give no per-segment match counts, so no floor.
+        `segments` must be the snapshot the scorer pool was built from
+        (a concurrent refresh may have advanced self.segments)."""
         if s.sort_by is None or s.facets or not isinstance(s.query, AllQuery):
             return None
         k = s.limit
+        if k <= 0:
+            return None
         tomb = stats.tombstones
         if tomb is not None and tomb.size:
             tomb = np.sort(tomb)
         cands = []
-        for seg in self.segments:
+        for seg in segments:
             z = seg.get("fastfield_stats", {}).get(s.sort_by)
-            if z is None:
-                continue  # unknown-bound segments just don't contribute
-            live = int(seg["num_docs"])
+            if z is None or len(z) < 3:
+                continue  # unknown bounds/counts just don't contribute
+            live = int(z[2])  # valued docs only — nulls sort last
             if tomb is not None and tomb.size:
+                # worst case every in-range tombstone was a valued doc
                 lo = np.searchsorted(tomb, int(seg["min_doc_id"]), "left")
                 hi = np.searchsorted(tomb, int(seg["max_doc_id"]), "right")
                 live -= int(hi - lo)
@@ -1314,11 +1340,13 @@ class Searcher:
         # shared stats phase over the union of needed terms; global df is
         # static per manifest version, so repeat terms skip the round-trip
         stats = self._stats_for_plans([s.query for s in searches])
-        floors = [self._sort_floor(s, stats) for s in searches]
         # scoring AND winner-fetch pin ONE pool snapshot: a refresh
         # between the phases would remap group indices to different
-        # segment sets and fetch the wrong stored docs
-        with self._pool() as groups:
+        # segment sets and fetch the wrong stored docs. Sort floors are
+        # computed INSIDE the pin from the pool's own segment snapshot —
+        # a floor derived from a different manifest could prune live rows
+        with self._pool() as (groups, pool_segments):
+            floors = [self._sort_floor(s, stats, pool_segments) for s in searches]
             group_results = self._dispatch(
                 groups,
                 "score_topk_many",
@@ -1342,7 +1370,14 @@ class Searcher:
                     rows.extend((d, sc, gi, si) for d, sc, si in top)
                     for k, v in fc.items():
                         facet_acc[k] = facet_acc.get(k, 0) + v
-                rows.sort(key=lambda r: (-r[1], r[0]))
+                # NaN (= NULL sort value) sorts LAST: Python's sort
+                # misorders raw NaN keys, so map it to -inf explicitly
+                rows.sort(
+                    key=lambda r: (
+                        -(r[1] if r[1] == r[1] else float("-inf")),
+                        r[0],
+                    )
+                )
                 rows = rows[: s.limit]
                 for d, _, gi, si in rows:
                     wanted_by_group.setdefault(gi, {}).setdefault(si, set()).add(d)

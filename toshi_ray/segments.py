@@ -252,11 +252,15 @@ def build_segment_tables(
     posting_parts: list[pa.Table] = []
     dv_cols: dict[str, pa.Array] = {doc_id_col: pa.array(doc_ids, type=pa.uint64())}
     field_stats: dict[str, dict] = {}
-    # zone map: [min, max] per integer fast field — a range / numeric-term
-    # query skips the whole segment (no docvalues data pages) when its
-    # bounds are disjoint with the segment's
+    # zone map: [min, max, n_valid] per integer fast field — a range /
+    # numeric-term query skips the whole segment (no docvalues data
+    # pages) when its bounds are disjoint with the segment's; n_valid
+    # (the NON-NULL value count — docs missing the field don't carry a
+    # value) lets the sort-by floor bound the k-th value soundly
     fastfield_stats: dict[str, list[int]] = (
-        {doc_id_col: [int(doc_ids.min()), int(doc_ids.max())]} if len(doc_ids) else {}
+        {doc_id_col: [int(doc_ids.min()), int(doc_ids.max()), int(len(doc_ids))]}
+        if len(doc_ids)
+        else {}
     )
 
     for f in schema.fields:
@@ -278,9 +282,14 @@ def build_segment_tables(
             else:
                 dv_cols[f.name] = col.cast(pa.int64()).combine_chunks()
             if f.type != "date":
-                mm = pa.compute.min_max(dv_cols[f.name])
+                arr = dv_cols[f.name]
+                mm = pa.compute.min_max(arr)
                 if mm["min"].is_valid:
-                    fastfield_stats[f.name] = [mm["min"].as_py(), mm["max"].as_py()]
+                    fastfield_stats[f.name] = [
+                        mm["min"].as_py(),
+                        mm["max"].as_py(),
+                        len(arr) - arr.null_count,
+                    ]
         elif f.type == FACET and f.name in batch.column_names:
             dv_cols[f"facet_{f.name}"] = batch[f.name].cast(pa.string()).combine_chunks()
 

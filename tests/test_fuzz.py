@@ -115,7 +115,7 @@ def fuzz_searcher(ray_session):
     return Searcher(root, distributed=False)
 
 
-@given(any_q, st.integers(1, 10))
+@given(any_q, st.integers(0, 10))
 @settings(max_examples=120, deadline=None)
 def test_executor_total_on_valid_trees(fuzz_searcher, q, limit):
     try:
@@ -538,3 +538,48 @@ def test_funnel_random_vs_bruteforce(ray_session):
                for r in funnel(ray.data.from_arrow(t).repartition(nparts),
                                window_secs=1).take_all()}
         assert got == want, nparts
+
+
+def test_sort_topk_random_nulls_vs_reference(ray_session):
+    """Randomized sort-by top-k across segment layouts with random NULL
+    patterns in the sort field: the zone-map floor + running-threshold
+    pruning must stay invisible — results always equal the numpy
+    reference ordering (value desc, NULLS LAST, doc_id asc), for any k
+    including 0 and past-the-end."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from toshi_ray.pipelines.build import build_index
+    from toshi_ray.schema import FieldDef, Schema
+    from toshi_ray.search import Searcher
+
+    rng = np.random.default_rng(53)
+    schema = Schema.build(
+        FieldDef("doc_id", "u64", fast=True),
+        FieldDef("val", "i64", fast=True),
+        FieldDef("text", "text"),
+    )
+    for layout in range(4):
+        n = int(rng.integers(50, 300))
+        vals = rng.integers(-1000, 1000, n).astype(object)
+        null_frac = float(rng.uniform(0, 0.9))
+        vals[rng.random(n) < null_frac] = None
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.uint64)),
+            "val": pa.array(list(vals), type=pa.int64()),
+            "text": pa.array([f"w{i}" for i in range(n)]),
+        })
+        dps = int(rng.choice([25, 60, 1000]))  # many small / few / one segment
+        root = tempfile.mkdtemp(prefix="toshi_fuzz_sort_")
+        build_index(ray.data.from_arrow(tbl), schema, root, docs_per_segment=dps)
+        s = Searcher(root, distributed=False)
+        # reference: value desc, nulls last, doc_id asc
+        fvals = np.array([float("-inf") if v is None else float(v) for v in vals])
+        ref = np.lexsort((np.arange(n), -fvals))
+        for k in (0, 1, int(rng.integers(2, n)), n, n + 10):
+            r = s.search({"query": None, "sort_by": "val", "limit": k})
+            got = [d["doc"]["doc_id"] for d in r["docs"]]
+            assert got == [int(i) for i in ref[:k]], (layout, dps, k, null_frac)

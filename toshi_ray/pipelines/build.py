@@ -53,7 +53,11 @@ SEGMENTS_DIR = "segments"
 # v4 = per-segment fastfield_stats zone maps ([min, max, n_valid] per
 #      integer fast field) in segment meta — pre-v4 segments lack them,
 #      so a stale cache would silently serve the unpruned read path
-FORMAT_VERSION = 4
+# v5 = per-segment per-field term bloom filters (termbloom.bin + meta
+#      `term_bloom`) — term/phrase/bool queries and the stats phase
+#      skip segments that provably lack every requested term without
+#      opening postings; pre-v5 caches lack the side file
+FORMAT_VERSION = 5
 
 
 class SegmentBuilder:

@@ -705,6 +705,21 @@ def merge_segments(
             field_stats[f]["total_tokens"] += st["total_tokens"]
     # NOTE: token totals of deleted docs stay counted until their segment
     # fully merges away — same drift tantivy accepts between merges.
+    # term bloom (toshi_ray.termbloom): rebuilt over the merged term
+    # dictionary — a column-pruned read of (field, term) only, never the
+    # posting payloads, so the cost is vocab-proportional (the dict is a
+    # small fraction of the postings file; payload columns stay on disk).
+    from toshi_ray import termbloom
+
+    bloom = termbloom.build_term_blooms(
+        pq.read_table(os.path.join(tmp, "postings"), columns=["field", "term"])
+    )
+    if bloom is not None:
+        payload, bloom_meta = bloom
+        with open(os.path.join(tmp, termbloom.TERMBLOOM_FILE), "wb") as f:
+            f.write(payload)
+    else:
+        bloom_meta = None
     meta = {
         "name": new_name,
         "num_docs": int(n_docs),
@@ -712,6 +727,7 @@ def merge_segments(
         "max_doc_id": int(id_max) if id_max is not None else 0,
         "field_stats": field_stats,
         "fastfield_stats": zone,
+        **({"term_bloom": bloom_meta} if bloom_meta is not None else {}),
         "merged_from": names,  # lineage
         "metrics": {
             "merge_secs": round(__import__("time").perf_counter() - t0, 3),

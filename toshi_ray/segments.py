@@ -341,6 +341,14 @@ def write_segment(
     tmp = os.path.join(segments_dir, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(postings, os.path.join(tmp, POSTINGS_FILE))
+    from toshi_ray import termbloom
+
+    bloom = termbloom.build_term_blooms(postings)
+    if bloom is not None:
+        payload, bmeta = bloom
+        with open(os.path.join(tmp, termbloom.TERMBLOOM_FILE), "wb") as f:
+            f.write(payload)
+        meta["term_bloom"] = bmeta
     pq.write_table(docvalues, os.path.join(tmp, DOCVALUES_FILE))
     pq.write_table(store, os.path.join(tmp, STORE_FILE))
     with open(os.path.join(tmp, META_FILE), "w") as f:
@@ -392,6 +400,7 @@ class SegmentReader:
         self._postings_all: pa.Table | None = None
         self._term_index: dict | None = None  # field -> (sorted terms np, row idx np)
         self._df_col: np.ndarray | None = None  # set with the term index
+        self._bloom_bits: np.ndarray | None = None  # lazy termbloom.bin
 
     def _postings_bytes(self) -> int:
         p = self._path(POSTINGS_FILE)
@@ -474,10 +483,42 @@ class SegmentReader:
             order = np.argsort(ft, kind="stable")  # shard rows keep order (stable)
             self._term_index[f] = (ft[order], rows[order])
 
+    def _bloom_surviving(self, field: str, terms: list[str]) -> list[str]:
+        """Terms the segment MAY contain, per the term bloom filter
+        (toshi_ray.termbloom). Segments without a bloom (pre-v5 or
+        empty) return ``terms`` unchanged — pruning is opt-in and
+        sound: a written term is always present in its bloom, and a
+        field with any postings always has a bloom entry, so an empty
+        survivor list proves the postings probe would find nothing."""
+        bm = self.meta.get("term_bloom")
+        if not bm or not terms:
+            return terms
+        fm = bm["fields"].get(field)
+        if fm is None:
+            return []  # segment holds no postings for this field at all
+        from toshi_ray import termbloom
+
+        if self._bloom_bits is None:
+            self._bloom_bits = np.fromfile(
+                os.path.join(self.dir, bm.get("file", termbloom.TERMBLOOM_FILE)),
+                dtype=np.uint8,
+            )
+        mask = termbloom.may_contain(self._bloom_bits, fm, terms, bm["k"])
+        return [t for t, keep in zip(terms, mask) if keep]
+
+    def _empty_postings(self, columns: list[str] | None) -> pa.Table:
+        """Zero-row postings table with the canonical schema — returned
+        by bloom-pruned probes without touching the postings file."""
+        t = pa.table({n: pa.array([], type=ty) for n, ty in POSTINGS_SCHEMA_FIXED})
+        return t.select(columns) if columns is not None else t
+
     def df_for_terms(self, field: str, terms: list[str]) -> dict[str, int]:
         """{term: df summed across shard rows} WITHOUT touching the
         posting payload columns — the stats phase only needs df, and a
         hot term's payload is MBs it must not copy."""
+        terms = self._bloom_surviving(field, terms)
+        if not terms:
+            return {}
         if self.cache_postings:
             self._ensure_term_index()
             idx = self._term_index.get(field)
@@ -509,6 +550,9 @@ class SegmentReader:
         """``columns`` projects the fetch — term scoring passes
         POSTINGS_SANS_POSITIONS so the positions payload (usually the
         largest column) is never copied for non-phrase queries."""
+        terms = self._bloom_surviving(field, terms)
+        if not terms:
+            return self._empty_postings(columns)
         if self.cache_postings:
             self._ensure_term_index()
             src = self.all_postings()

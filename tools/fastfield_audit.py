@@ -72,11 +72,50 @@ def main() -> None:
         )
         r = s.search({"query": None, "sort_by": "n_chars", "limit": 20})
         n_sort = len(r["docs"])
+
+        n_fastfield_reads = len(reads)  # by-kind table covers range/sort only
+
+        # ---- term-bloom audit: postings files opened per term query ----
+        # a token from ONE document lives in (at most) the few segments
+        # holding it; an absent token must open ZERO postings files.
+        # Query order matters: absent first (readers cache postings on
+        # first touch, which would mask later counts).
+        from toshi_ray.analyzer import get_analyzer
+
+        import pyarrow.parquet as _pq
+
+        import pyarrow as _pa
+
+        first_text = _pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )["text"][0].as_py()
+        tc = get_analyzer("default").tokenize_column(_pa.array([first_text]))
+        rare = max(tc.terms.to_pylist(), key=len)
+        bloom_audit: dict[str, dict] = {}
+        for label, term in (("absent_term", "zzzqqqxyzzy"), ("rare_term", rare)):
+            mark = len(reads)
+            res = s.search({"query": {"term": {"text": term}}, "limit": 10})
+            bloom_audit[label] = {
+                "term": term,
+                "hits": res["hits"],
+                "postings_files_opened": len(
+                    {p for p, _ in reads[mark:] if "postings" in p}
+                ),
+            }
     finally:
         segments.pq.read_table = orig
 
+    seg_root = os.path.join(root, "segments")
+    bloom_bytes = sum(
+        os.path.getsize(os.path.join(seg_root, d, "termbloom.bin"))
+        for d in os.listdir(seg_root)
+        if os.path.exists(os.path.join(seg_root, d, "termbloom.bin"))
+    )
+    n_segments = len(s.segments)
+
+    ff_reads = reads[:n_fastfield_reads]
     by_kind: dict[str, dict[str, int]] = {}
-    for path, cols in reads:
+    for path, cols in ff_reads:
         kind = ("docvalues" if "docvalues" in path
                 else "postings" if "postings" in path
                 else "store" if "store" in path else "other")
@@ -93,9 +132,14 @@ def main() -> None:
         "n_sort_hits": n_sort,
         "reads_by_kind": by_kind,
         "docvalues_columns_read": sorted(
-            {c for p, cols in reads if "docvalues" in p for c in (cols or ())}
+            {c for p, cols in ff_reads if "docvalues" in p for c in (cols or ())}
         ),
-        "postings_reads": sum(1 for p, _ in reads if "postings" in p),
+        "postings_reads": sum(1 for p, _ in ff_reads if "postings" in p),
+        "term_bloom": {
+            "segments_total": n_segments,
+            "bloom_bytes_total": bloom_bytes,
+            **bloom_audit,
+        },
     }))
     ray.shutdown()
 

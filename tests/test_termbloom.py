@@ -114,6 +114,43 @@ def test_termbloom_prunes_absent_term_segments(ray_session, monkeypatch):
     assert with_bloom == without and len(with_bloom) == 50
 
 
+def test_termbloom_reflects_deletes_after_merge(ray_session, monkeypatch):
+    """A term whose every doc is tombstoned vanishes from the merged
+    postings (zero-survivor rows are dropped), so the rebuilt bloom
+    lacks it and the post-merge query does zero postings I/O; before
+    the merge the bloom correctly still contains it (tombstones never
+    remove terms — the bloom is a superset of the live vocabulary)."""
+    import toshi_ray.segments as segments
+    from toshi_ray.pipelines.merge import delete_by_term
+
+    root = _marker_index()
+    assert delete_by_term(root, "text", "marker1") == 100
+    # pre-merge: term still in the bloom → postings probed, 0 live hits
+    s0 = Searcher(root, distributed=False)
+    assert s0.search({"query": {"term": {"text": "marker1"}}, "limit": 5})["hits"] == 0
+    merge_segments(root)
+
+    s = Searcher(root, distributed=False)
+    reads: list[str] = []
+    orig = segments.pq.read_table
+
+    def spy(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(segments.pq, "read_table", spy)
+    r = s.search({"query": {"term": {"text": "marker1"}}, "limit": 5})
+    assert r["hits"] == 0
+    assert [p for p in reads if "postings" in p] == []
+    monkeypatch.setattr(segments.pq, "read_table", orig)
+    # surviving vocabulary unaffected
+    got = sorted(
+        d["doc"]["doc_id"]
+        for d in s.search({"query": {"term": {"text": "marker0"}}, "limit": 200})["docs"]
+    )
+    assert got == list(range(0, 100))
+
+
 def test_termbloom_survives_merge(ray_session):
     root = _marker_index()
     before = Searcher(root, distributed=False)
